@@ -1,0 +1,253 @@
+"""The flagship pipeline: pages parquet shards -> extracted docs -> corpus
+dedup -> chunks -> embeddings -> grouped index shards, with per-shard
+lineage commits and exact resume.
+
+Ray-Data-first shape (vs the reference's per-file ProcessPoolExecutor loop,
+/root/reference/src/services/RAG/convert_to_embeddings.py:602-748):
+
+    read_parquet(pending shards, include_paths=True)
+      -> map_batches(ExtractPages, concurrency=actors)   # stateful pool
+      -> write_parquet(docs/, partition_cols=["shard"])  # stage commit
+    read_parquet(docs/) . filter(non-empty)
+      -> groupby(text_sha256).map_groups(mark duplicates) # ONE shuffle
+      -> map_batches(chunk_docs_batch)                    # row-local fanout
+      -> map_batches(HashEmbedder, concurrency=actors)    # stateful pool
+      -> write_parquet(chunks/, partition_cols=["shard"]) # stage commit
+    read_parquet(chunks/) -> write_parquet(index/, partition_cols=["group_key"])
+
+Resume: a shard with a ``completed`` lineage row for (stage,
+parser_version) is pruned from the read task list — its bytes are never
+re-read (the distributed analog of the size+mtime fast-skip,
+convert_to_embeddings.py:550-557). Stale partial output of uncommitted
+shards is deleted before reprocessing, so kill+rerun == one clean run.
+
+Scale notes (100 TB): every stage is a streaming map over Arrow blocks
+except the single dedup shuffle; output is partitioned per input shard so a
+256-node run resumes at shard granularity; checksums are computed as
+per-batch partials combined driver-side (no driver-side materialization of
+data columns).
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+import shutil
+from typing import Dict, List, Optional, Sequence
+
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+import ray.data
+
+from .. import PARSER_VERSION
+from ..stages.chunk import chunk_docs_batch
+from ..stages.dedup import mark_exact_duplicates
+from ..stages.embed import HashEmbedder
+from ..stages.extract import ExtractPages
+from ..state.lineage import append_lineage, completed_shards
+
+STAGE_EXTRACT = "extract"
+STAGE_CHUNKS = "chunks_embedded"
+
+
+def _default_concurrency() -> int:
+    try:
+        return max(2, int(ray.cluster_resources().get("CPU", 4)))
+    except Exception:
+        return 4
+
+
+def list_shards(input_dir_or_paths) -> List[str]:
+    if isinstance(input_dir_or_paths, (list, tuple)):
+        return sorted(input_dir_or_paths)
+    return sorted(glob.glob(os.path.join(input_dir_or_paths, "*.parquet")))
+
+
+def _shard_stem(path: str) -> str:
+    return os.path.splitext(os.path.basename(path))[0]
+
+
+def _clean_partitions(table_dir: str, shards: Sequence[str]) -> None:
+    """Remove uncommitted partial partition dirs before reprocessing."""
+    for s in shards:
+        part_dir = os.path.join(table_dir, f"shard={s}")
+        if os.path.isdir(part_dir):
+            shutil.rmtree(part_dir)
+
+
+def _checksum_partials(batch: pa.Table) -> pa.Table:
+    """Per-batch partial: (shard, n_rows, key_sum). Combined driver-side —
+    tiny tables only cross to the driver."""
+    import hashlib
+    import struct
+
+    shards = batch.column("shard").to_pylist()
+    keys = batch.column("url").to_pylist()
+    acc: Dict[str, List[int]] = {}
+    for s, k in zip(shards, keys):
+        e = acc.setdefault(s, [0, 0])
+        e[0] += 1
+        e[1] = (e[1] + struct.unpack(
+            "<Q", hashlib.sha1(k.encode()).digest()[:8])[0]) & 0xFFFFFFFFFFFFFFFF
+    return pa.table({
+        "shard": pa.array(list(acc.keys()), pa.string()),
+        "n_rows": pa.array([v[0] for v in acc.values()], pa.int64()),
+        "key_sum": pa.array([v[1] for v in acc.values()], pa.uint64()),
+    })
+
+
+def _combine_checksums(ds: "ray.data.Dataset") -> Dict[str, dict]:
+    partials = ds.map_batches(
+        _checksum_partials, batch_format="pyarrow")
+    acc: Dict[str, List[int]] = {}
+    for b in partials.iter_batches(batch_format="pyarrow"):
+        for s, n, ksum in zip(b.column("shard").to_pylist(),
+                              b.column("n_rows").to_pylist(),
+                              b.column("key_sum").to_pylist()):
+            e = acc.setdefault(s, [0, 0])
+            e[0] += n
+            e[1] = (e[1] + ksum) & 0xFFFFFFFFFFFFFFFF
+    return {s: {"n_rows": v[0], "checksum": f"{v[1]:016x}"}
+            for s, v in acc.items()}
+
+
+def _commit(out_dir: str, stage: str, shard_paths: Dict[str, str],
+            sums: Dict[str, dict]) -> None:
+    rows = []
+    for shard, src in sorted(shard_paths.items()):
+        info = sums.get(shard, {"n_rows": 0, "checksum": "0" * 16})
+        rows.append({
+            "shard": shard, "row_start": 0, "row_end": info["n_rows"],
+            "stage": stage, "parser_version": PARSER_VERSION,
+            "checksum": info["checksum"], "status": "completed",
+            "n_rows": info["n_rows"], "n_errors": 0,
+        })
+    append_lineage(out_dir, rows)
+
+
+def run_extract_stage(input_dir_or_paths, out_dir: str, *,
+                      concurrency: Optional[int] = None,
+                      batch_size: int = 64,
+                      resume: bool = True) -> Dict[str, int]:
+    """pages shards -> out_dir/docs (partitioned by shard) + lineage."""
+    shards = list_shards(input_dir_or_paths)
+    docs_dir = os.path.join(out_dir, "docs")
+    done = completed_shards(out_dir, STAGE_EXTRACT, PARSER_VERSION) if resume else set()
+    pending = [p for p in shards if _shard_stem(p) not in done]
+    if not pending:
+        return {"shards_total": len(shards), "shards_run": 0}
+
+    pending_stems = [_shard_stem(p) for p in pending]
+    _clean_partitions(docs_dir, pending_stems)
+
+    conc = concurrency or _default_concurrency()
+    ds = ray.data.read_parquet(pending, include_paths=True)
+    docs = ds.map_batches(
+        ExtractPages, batch_format="pyarrow", batch_size=batch_size,
+        concurrency=conc, num_cpus=1)
+    docs.write_parquet(docs_dir, partition_cols=["shard"])
+
+    # read back only the projection needed for the commit record
+    written = ray.data.read_parquet(
+        _partition_files(docs_dir, pending_stems),
+        columns=["url"], include_paths=True,
+    ).map_batches(_attach_shard_from_path, batch_format="pyarrow")
+    sums = _combine_checksums(written)
+    _commit(out_dir, STAGE_EXTRACT,
+            {s: s for s in pending_stems}, sums)
+    return {"shards_total": len(shards), "shards_run": len(pending)}
+
+
+def _partition_files(table_dir: str, shards: Sequence[str]) -> List[str]:
+    files: List[str] = []
+    for s in shards:
+        files.extend(sorted(glob.glob(
+            os.path.join(table_dir, f"shard={s}", "*.parquet"))))
+    return files
+
+
+def _attach_shard_from_path(batch: pa.Table) -> pa.Table:
+    paths = batch.column("path").to_pylist()
+    shards = [p.split("shard=")[-1].split("/")[0] for p in paths]
+    return batch.drop_columns(["path"]).append_column(
+        "shard", pa.array(shards, pa.string()))
+
+
+def _non_empty(batch: pa.Table) -> pa.Table:
+    return batch.filter(pc.not_equal(batch.column("method"), "empty"))
+
+
+def run_rag_stage(out_dir: str, *, concurrency: Optional[int] = None,
+                  embed_batch: int = 96, resume: bool = True,
+                  embedder_cls=HashEmbedder) -> Dict[str, int]:
+    """out_dir/docs -> dedup-mark -> chunk -> embed -> out_dir/chunks."""
+    docs_dir = os.path.join(out_dir, "docs")
+    chunks_dir = os.path.join(out_dir, "chunks")
+    if not os.path.isdir(docs_dir):
+        return {"shards_total": 0, "shards_run": 0}
+    all_shards = sorted(
+        d.split("=", 1)[1] for d in os.listdir(docs_dir)
+        if d.startswith("shard="))
+    done = completed_shards(out_dir, STAGE_CHUNKS, PARSER_VERSION) if resume else set()
+    pending = [s for s in all_shards if s not in done]
+    if not pending:
+        return {"shards_total": len(all_shards), "shards_run": 0}
+    _clean_partitions(chunks_dir, pending)
+
+    conc = concurrency or _default_concurrency()
+    # dedup marking must see the FULL corpus (winners are global); chunking
+    # and embedding then run only on pending shards.
+    docs = ray.data.read_parquet(docs_dir)
+    docs = docs.map_batches(_non_empty, batch_format="pyarrow")
+    marked = mark_exact_duplicates(docs)
+    pending_set = set(pending)
+    todo = marked.map_batches(
+        lambda t, ps=pending_set: t.filter(
+            pc.is_in(t["shard"], value_set=pa.array(list(ps)))),
+        batch_format="pyarrow")
+    chunks = todo.map_batches(chunk_docs_batch, batch_format="pyarrow")
+    embedded = chunks.map_batches(
+        embedder_cls, batch_format="pyarrow", batch_size=embed_batch,
+        concurrency=conc, num_cpus=1)
+    embedded.write_parquet(chunks_dir, partition_cols=["shard"])
+
+    written = ray.data.read_parquet(
+        _partition_files(chunks_dir, pending),
+        columns=["id", "url"], include_paths=True,
+    ).map_batches(_attach_shard_from_path, batch_format="pyarrow")
+    sums = _combine_checksums(written)
+    # shards can legitimately produce zero chunks (all-empty docs)
+    for s in pending:
+        sums.setdefault(s, {"n_rows": 0, "checksum": "0" * 16})
+    _commit(out_dir, STAGE_CHUNKS, {s: s for s in pending}, sums)
+    return {"shards_total": len(all_shards), "shards_run": len(pending)}
+
+
+def run_index_stage(out_dir: str) -> str:
+    """chunks -> index shards partitioned by group_key (the index-build
+    groupby of SURVEY.md section 7.3; Chroma-collection analog)."""
+    chunks_dir = os.path.join(out_dir, "chunks")
+    index_dir = os.path.join(out_dir, "index")
+    if not os.path.isdir(chunks_dir):
+        return index_dir
+    if os.path.isdir(index_dir):
+        shutil.rmtree(index_dir)
+    ds = ray.data.read_parquet(chunks_dir)
+    ds = ds.map_batches(
+        lambda t: t.filter(pc.equal(t["is_duplicate"], False)),
+        batch_format="pyarrow")
+    ds.write_parquet(index_dir, partition_cols=["group_key"])
+    return index_dir
+
+
+def run_pipeline(input_dir_or_paths, out_dir: str, *,
+                 concurrency: Optional[int] = None,
+                 resume: bool = True, build_index: bool = True) -> Dict[str, int]:
+    stats = run_extract_stage(input_dir_or_paths, out_dir,
+                              concurrency=concurrency, resume=resume)
+    stats.update({f"rag_{k}": v for k, v in run_rag_stage(
+        out_dir, concurrency=concurrency, resume=resume).items()})
+    if build_index:
+        run_index_stage(out_dir)
+    return stats

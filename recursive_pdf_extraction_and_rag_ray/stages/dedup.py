@@ -1,0 +1,61 @@
+"""Corpus-level deduplication stages.
+
+Exact dedup here (round 1); near-dup family (MinHash+LSH, SimHash, n-gram
+Jaccard, embedding-cosine) lives in ``stages/neardup.py``.
+
+Reference analog: the seen-files index — sha256-prefix of the file, first
+path wins, later identical files marked duplicates
+(/root/reference/src/services/RAG/convert_to_embeddings.py:531-534,559-566).
+The reference does this serially through a mutable JSON dict; the Ray-native
+expression is ONE hash shuffle: ``groupby(text_sha256).map_groups`` with a
+deterministic total order inside each group (lexicographically-smallest url
+wins — os.walk order does not exist in a distributed run, so the winner
+rule must be data-derived; SURVEY.md section 7.4 item 2).
+
+Scale note (100 TB): the shuffle moves full doc text once. When that is too
+hot, the scale path is: project to (url, text_sha256), groupby on the
+16-byte key, emit (url, duplicate_of) pairs, then hash-join back — same
+semantics, shuffle carries keys only. ``mark_exact_duplicates_lean``
+implements that shape.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+if True:  # ray is an engine dependency; guard keeps module importable for docs
+    import ray.data
+
+
+def _mark_group(group: pa.Table) -> pa.Table:
+    urls = group.column("url")
+    winner = pc.min_max(urls)["min"].as_py()
+    dup = pa.array(
+        ["" if u == winner else winner for u in urls.to_pylist()], pa.string())
+    return group.append_column("duplicate_of", dup)
+
+
+def mark_exact_duplicates(docs: "ray.data.Dataset") -> "ray.data.Dataset":
+    """docs_extracted (non-empty rows) -> same rows + ``duplicate_of``
+    (empty string for the kept winner). One all-to-all on ``text_sha256``."""
+    return docs.groupby("text_sha256").map_groups(
+        _mark_group, batch_format="pyarrow")
+
+
+def mark_exact_duplicates_lean(docs: "ray.data.Dataset") -> "ray.data.Dataset":
+    """Key-only variant: returns a small (url, duplicate_of) Dataset; the
+    caller joins it back (broadcast if small, hash join at scale)."""
+    pairs = docs.select_columns(["url", "text_sha256"])
+    return pairs.groupby("text_sha256").map_groups(
+        _mark_group, batch_format="pyarrow").select_columns(
+        ["url", "duplicate_of"])
+
+
+def keep_first_exact(docs: "ray.data.Dataset") -> "ray.data.Dataset":
+    """Hard dedup: only the winning row of each exact-duplicate group
+    survives (the ``groupby(doc_hash)`` keep-first of SURVEY.md section 2.8)."""
+    marked = mark_exact_duplicates(docs)
+    return marked.map_batches(
+        lambda t: t.filter(pc.equal(t["duplicate_of"], "")),
+        batch_format="pyarrow")

@@ -1,0 +1,122 @@
+"""Embedding stage: chunks -> chunks + embedding column.
+
+Actor-pool callable class (``map_batches(HashEmbedder, concurrency=N,
+batch_size=96)``) — the Ray-native analog of the reference's embedding
+clients (Cloudflare BGE-M3 with batch cap 96/100 and 5-try exponential
+backoff, /root/reference/src/services/RAG/convert_to_embeddings.py:125-171;
+threaded order-preserving variant src/services/Cloudflare/
+cf_bge_service.py:80-125; Ollama src/services/Ollama/ollama_service.py).
+
+Providers share one duck-type (``embed(list[str]) -> np.ndarray``):
+
+- ``HashEmbedder`` — deterministic local PRF embedder (shake_128 of the
+  text -> 64 float32, L2-normalized). Default for tests/bench: no network
+  in the sandbox, and determinism is what the correctness gate needs.
+- ``HttpEmbedder`` — the production shape: batched POST with retry/backoff
+  identical in spirit to the reference's RetryCfg (5 tries, x1.5 backoff,
+  max sleep 20s). Gated behind an import-try; raises unless an endpoint is
+  configured. The Ray plumbing (actor pool, batching, order preservation)
+  is identical to HashEmbedder's, so tests of the plumbing cover both.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import List, Optional
+
+import numpy as np
+import pyarrow as pa
+
+from ..schemas import EMBED_DIM
+
+EMBED_TYPE_HASH = "hash-prf-64"
+
+
+def _hash_vec(text: str, dim: int) -> np.ndarray:
+    raw = hashlib.shake_128(text.encode("utf-8")).digest(dim * 4)
+    x = np.frombuffer(raw, dtype="<u4").astype(np.float64)
+    x = x / 4294967295.0 * 2.0 - 1.0
+    norm = float(np.linalg.norm(x))
+    return (x / norm if norm > 0 else x).astype(np.float32)
+
+
+def hash_embed_texts(texts: List[str], dim: int = EMBED_DIM) -> np.ndarray:
+    out = np.empty((len(texts), dim), dtype=np.float32)
+    for i, t in enumerate(texts):
+        out[i] = _hash_vec(t, dim)
+    return out
+
+
+class HashEmbedder:
+    """Deterministic embedder actor. ``__init__`` once per actor."""
+
+    def __init__(self, dim: int = EMBED_DIM, text_col: str = "text",
+                 embedding_type: str = EMBED_TYPE_HASH):
+        self.dim = dim
+        self.text_col = text_col
+        self.embedding_type = embedding_type
+
+    def embed(self, texts: List[str]) -> np.ndarray:
+        return hash_embed_texts(texts, self.dim)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = batch.column(self.text_col).to_pylist()
+        vecs = self.embed(texts)
+        emb = pa.FixedSizeListArray.from_arrays(
+            pa.array(vecs.reshape(-1), pa.float32()), self.dim)
+        batch = batch.append_column("embedding", emb)
+        return batch.append_column(
+            "embedding_type",
+            pa.array([self.embedding_type] * len(texts), pa.string()))
+
+
+class HttpEmbedder(HashEmbedder):
+    """Production embedder shape: batch cap + retry/backoff inside the actor
+    (retry semantics follow convert_to_embeddings.py:125-171: 5 tries,
+    exponential x1.5, sleep capped at 20s, retry on 429/5xx/network)."""
+
+    def __init__(self, endpoint: Optional[str] = None, token: str = "",
+                 dim: int = 1024, batch_cap: int = 96, tries: int = 5,
+                 backoff: float = 1.5, max_sleep: float = 20.0,
+                 text_col: str = "text"):
+        super().__init__(dim=dim, text_col=text_col,
+                         embedding_type="http-embedder")
+        self.endpoint = endpoint
+        self.token = token
+        self.batch_cap = min(batch_cap, 100)  # reference hard cap: 100
+        self.tries = tries
+        self.backoff = backoff
+        self.max_sleep = max_sleep
+        try:
+            import requests  # noqa: F401
+            self._requests = requests
+        except ImportError:
+            self._requests = None
+
+    def embed(self, texts: List[str]) -> np.ndarray:
+        if not self.endpoint or self._requests is None:
+            raise NotImplementedError(
+                "HttpEmbedder needs a configured endpoint and the 'requests' "
+                "package; use HashEmbedder in sandboxed/test runs")
+        import time
+        out: List[List[float]] = []
+        for start in range(0, len(texts), self.batch_cap):
+            sub = texts[start:start + self.batch_cap]
+            delay = 1.0
+            for attempt in range(self.tries):
+                try:
+                    resp = self._requests.post(
+                        self.endpoint, json={"text": sub},
+                        headers={"Authorization": f"Bearer {self.token}"},
+                        timeout=60)
+                    if resp.status_code in (429,) or resp.status_code >= 500:
+                        raise IOError(f"retryable status {resp.status_code}")
+                    resp.raise_for_status()
+                    out.extend(resp.json()["result"]["data"])
+                    break
+                except Exception:
+                    if attempt == self.tries - 1:
+                        raise
+                    time.sleep(min(delay, self.max_sleep))
+                    delay *= self.backoff
+        return np.asarray(out, dtype=np.float32)
