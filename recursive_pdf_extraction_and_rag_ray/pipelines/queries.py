@@ -1,0 +1,460 @@
+"""Driver-facing query registry: every operator/pipeline from SURVEY.md
+section 2 (plus the training-data operator family) as a callable over an
+``sf_dir`` of driver parquet tables, with the matching DuckDB oracle SQL
+where the operator is SQL-expressible.
+
+Parity rules (the driver hash-compares values after sorting columns by
+name and rows by value):
+- every computed column is named identically here and in the SQL;
+- float aggregates are rounded identically on both sides;
+- cosine similarities computed in float64 on both sides (SQL casts the
+  float32 list to DOUBLE[] — verified to match numpy to < 1e-16);
+- sorts carry an explicit integer tiebreak on both sides.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Callable, Dict
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+import ray
+import ray.data
+from ray.data.aggregate import Count, Max, Min, Sum
+
+from ..functions.textproc import chunk_records
+from ..stages import neardup, similarity, textstats
+from ..stages.chunk import chunk_docs_batch
+from ..stages.extract import ExtractPages
+from ..sources.pages_gen import pages_from_documents_batch
+
+
+def _t(sf_dir: str, name: str, columns=None) -> "ray.data.Dataset":
+    return ray.data.read_parquet(
+        os.path.join(sf_dir, f"{name}.parquet"), columns=columns)
+
+
+# --- relational capability analogs (SURVEY.md 2.5-2.7) -----------------------
+
+def q_agg_rollup(sf_dir):
+    """Partial+final grouped aggregation (billing-totals analog, SURVEY G1;
+    TPC-H Q1 shape). Filter applied at scan time, revenue vectorized."""
+    ds = _t(sf_dir, "lineitem", columns=[
+        "l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice",
+        "l_discount", "l_shipdate"])
+
+    def add_revenue(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.less_equal(
+            t["l_shipdate"], pa.scalar(pd.Timestamp("1998-09-02"))))
+        # exact integer 1e-4-currency units: float sums are association-order
+        # dependent across partial aggregates, so money is summed as int64
+        rev = pc.cast(pc.round(pc.multiply(
+            pc.multiply(t["l_extendedprice"],
+                        pc.subtract(pa.scalar(1.0), t["l_discount"])),
+            pa.scalar(10000.0))), pa.int64())
+        qty = pc.cast(t["l_quantity"], pa.int64())
+        return t.append_column("revenue_e4", rev).append_column("qty_int", qty)
+
+    out = ds.map_batches(add_revenue, batch_format="pyarrow") \
+        .groupby(["l_returnflag", "l_linestatus"]) \
+        .aggregate(Sum("qty_int", alias_name="sum_qty"),
+                   Sum("revenue_e4", alias_name="sum_revenue_e4"),
+                   Count(alias_name="n_rows"))
+    return out
+
+
+SQL_AGG_ROLLUP = """
+SELECT l_returnflag, l_linestatus,
+       sum(CAST(l_quantity AS BIGINT)) AS sum_qty,
+       sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000)
+                AS BIGINT)) AS sum_revenue_e4,
+       count(*) AS n_rows
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q_filter_project(sf_dir):
+    """Metadata-filter lookup (SURVEY J3: Chroma where-filter analog) with
+    column pruning at the read."""
+    ds = _t(sf_dir, "documents", columns=["doc_id", "source", "lang", "n_chars"])
+    return ds.map_batches(
+        lambda t: t.filter(pc.and_(pc.equal(t["lang"], "en"),
+                                   pc.greater_equal(t["n_chars"], 200))),
+        batch_format="pyarrow").select_columns(["doc_id", "source", "n_chars"])
+
+
+SQL_FILTER_PROJECT = """
+SELECT doc_id, source, n_chars FROM documents
+WHERE lang = 'en' AND n_chars >= 200
+"""
+
+
+def q_topk_orders(sf_dir):
+    """Global top-k (SURVEY J4: merge-sort by distance analog):
+    sort + limit with explicit tiebreak."""
+    ds = _t(sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_totalprice"])
+    return ds.sort(["o_totalprice", "o_orderkey"],
+                   descending=[True, False]).limit(10)
+
+
+SQL_TOPK_ORDERS = """
+SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
+"""
+
+
+def q_topk_per_group(sf_dir):
+    """Per-group top-k via groupby().map_groups (SURVEY J4 per-collection
+    knn analog)."""
+    ds = _t(sf_dir, "orders", columns=["o_orderpriority", "o_orderkey",
+                                       "o_totalprice"])
+
+    def top2(g: pd.DataFrame) -> pd.DataFrame:
+        return g.sort_values(["o_totalprice", "o_orderkey"],
+                             ascending=[False, True]).head(2)
+
+    return ds.groupby("o_orderpriority").map_groups(top2, batch_format="pandas")
+
+
+SQL_TOPK_PER_GROUP = """
+SELECT o_orderpriority, o_orderkey, o_totalprice FROM orders
+QUALIFY row_number() OVER (
+  PARTITION BY o_orderpriority ORDER BY o_totalprice DESC, o_orderkey) <= 2
+"""
+
+
+def q_broadcast_join_agg(sf_dir):
+    """Small-side broadcast join (SURVEY J6; ray.put-once idiom) + grouped
+    aggregate: orders joined to customer segment without a shuffle join."""
+    cust = pq.read_table(os.path.join(sf_dir, "customer.parquet"),
+                         columns=["c_custkey", "c_mktsegment"])
+    seg_ref = ray.put(dict(zip(cust.column("c_custkey").to_pylist(),
+                               cust.column("c_mktsegment").to_pylist())))
+
+    class AttachSegment:
+        def __init__(self, ref):
+            self.seg = ray.get(ref)  # read once per actor, zero re-ship
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            segs = [self.seg.get(k, "") for k in t["o_custkey"].to_pylist()]
+            cents = pc.cast(pc.round(pc.multiply(
+                t["o_totalprice"], pa.scalar(100.0))), pa.int64())
+            return t.append_column("c_mktsegment", pa.array(segs, pa.string())) \
+                    .append_column("total_cents", cents)
+
+    ds = _t(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
+    return ds.map_batches(AttachSegment, batch_format="pyarrow",
+                          fn_constructor_kwargs={"ref": seg_ref},
+                          concurrency=(1, 4)) \
+        .groupby("c_mktsegment") \
+        .aggregate(Count(alias_name="n_orders"),
+                   Sum("total_cents", alias_name="sum_total_cents"))
+
+
+SQL_BROADCAST_JOIN_AGG = """
+SELECT c_mktsegment, count(*) AS n_orders,
+       sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS sum_total_cents
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment
+"""
+
+
+def q_distinct_event_types(sf_dir):
+    """Set op: distinct values (SURVEY 2.8)."""
+    vals = _t(sf_dir, "events", columns=["event_type"]).unique("event_type")
+    return pa.table({"event_type": pa.array(sorted(vals), pa.string())})
+
+
+SQL_DISTINCT_EVENT_TYPES = "SELECT DISTINCT event_type FROM events"
+
+
+def q_status_counts(sf_dir):
+    """Status-counter rollup (SURVEY G2: progress ledger counters)."""
+    return _t(sf_dir, "orders", columns=["o_orderstatus"]) \
+        .groupby("o_orderstatus").aggregate(Count(alias_name="n_orders"))
+
+
+SQL_STATUS_COUNTS = """
+SELECT o_orderstatus, count(*) AS n_orders FROM orders GROUP BY o_orderstatus
+"""
+
+
+def q_events_by_user(sf_dir):
+    ds = _t(sf_dir, "events", columns=["user_id", "value"])
+    df = ds.groupby("user_id").aggregate(
+        Count(alias_name="n_events"),
+        Sum("value", alias_name="sum_value"),
+        Max("value", alias_name="max_value")).to_pandas()
+    df["sum_value"] = df["sum_value"].round(4)
+    df["max_value"] = df["max_value"].round(6)
+    return df
+
+
+SQL_EVENTS_BY_USER = """
+SELECT user_id, count(*) AS n_events, round(sum(value), 4) AS sum_value,
+       round(max(value), 6) AS max_value
+FROM events GROUP BY user_id
+"""
+
+
+def q_events_hourly(sf_dir):
+    """Time-bucketed rollup (the windowed-aggregate shape over the event
+    stream; vectorized timestamp kernel)."""
+    ds = _t(sf_dir, "events", columns=["ts", "value"])
+
+    def bucket(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"hour": df["ts"].dt.hour.astype("int64"),
+                             "value": df["value"]})
+
+    out = ds.map_batches(bucket, batch_format="pandas") \
+        .groupby("hour").aggregate(Count(alias_name="n_events"),
+                                   Sum("value", alias_name="sum_value"))
+    df = out.to_pandas()
+    df["sum_value"] = df["sum_value"].round(4)
+    return df
+
+
+SQL_EVENTS_HOURLY = """
+SELECT CAST(extract(hour FROM ts) AS BIGINT) AS hour, count(*) AS n_events,
+       round(sum(value), 4) AS sum_value
+FROM events GROUP BY 1
+"""
+
+
+# --- training-data operator family ------------------------------------------
+
+def q_dedup_exact(sf_dir):
+    """Exact dedup keep-first (SURVEY J1/2.8: seen-files index analog):
+    hash-partition on the fingerprint, min doc_id wins."""
+    ds = _t(sf_dir, "documents", columns=["doc_id", "text"])
+    fp = ds.map_batches(textstats.fingerprint_batch, batch_format="pandas")
+    return fp.groupby("fp").aggregate(Min("doc_id", alias_name="doc_id"),
+                                      Count(alias_name="n_copies"))
+
+
+SQL_DEDUP_EXACT = """
+SELECT md5(text) AS fp, min(doc_id) AS doc_id, count(*) AS n_copies
+FROM documents GROUP BY md5(text)
+"""
+
+
+def q_fingerprint(sf_dir):
+    ds = _t(sf_dir, "documents", columns=["doc_id", "text"])
+    return ds.map_batches(textstats.fingerprint_batch, batch_format="pandas")
+
+
+SQL_FINGERPRINT = "SELECT doc_id, md5(text) AS fp FROM documents"
+
+
+def q_token_count(sf_dir):
+    ds = _t(sf_dir, "documents", columns=["doc_id", "text"])
+    return ds.map_batches(textstats.token_count_batch, batch_format="pandas")
+
+
+SQL_TOKEN_COUNT = r"""
+SELECT doc_id,
+       CASE WHEN trim(text) = '' THEN 0
+            ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tokens,
+       length(text) AS n_chars,
+       greatest(1, length(text) // 4) AS n_tokens_approx
+FROM documents
+"""
+
+
+def q_lang_id(sf_dir):
+    ds = _t(sf_dir, "documents", columns=["doc_id", "text"])
+    return ds.map_batches(textstats.lang_id_batch, batch_format="pandas")
+
+
+SQL_LANG_ID = """
+SELECT doc_id, en_hits, en_hits >= 3 AS is_en FROM (
+  SELECT doc_id,
+         (length(p) - length(replace(p, ' the ', ''))) // 5
+       + (length(p) - length(replace(p, ' and ', ''))) // 5
+       + (length(p) - length(replace(p, ' of ', ''))) // 4
+       + (length(p) - length(replace(p, ' to ', ''))) // 4
+       + (length(p) - length(replace(p, ' in ', ''))) // 4 AS en_hits
+  FROM (SELECT doc_id, ' ' || text || ' ' AS p FROM documents)
+)
+"""
+
+
+def q_quality(sf_dir):
+    ds = _t(sf_dir, "documents", columns=["doc_id", "text"])
+    return ds.map_batches(textstats.quality_score_batch, batch_format="pandas")
+
+
+SQL_QUALITY = """
+SELECT doc_id,
+       length(text) AS n_chars,
+       CASE WHEN trim(text) = '' THEN 0
+            ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS n_words,
+       length(text) - length(replace(text, '.', '')) AS n_periods,
+       round((length(text) - length(replace(text, ' ', '')))
+             / greatest(length(text), 1), 6) AS space_ratio
+FROM documents
+"""
+
+
+def q_knn_bruteforce(sf_dir):
+    """Exact cosine top-10 for the vec_id=0 query vector (SURVEY J4)."""
+    q = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"),
+                      columns=["vec_id", "embedding"],
+                      filters=[("vec_id", "=", 0)])
+    qvec = np.asarray(q.column("embedding").to_pylist()[0], dtype=np.float64)
+    ds = _t(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    out = similarity.knn_bruteforce(ds, qvec, k=10, exclude_ids=[0])
+    return out.to_pandas()[["vec_id", "cos_sim"]]
+
+
+SQL_KNN_BRUTEFORCE = """
+WITH q AS (SELECT embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id = 0)
+SELECT e.vec_id,
+       round(list_cosine_similarity(e.embedding::DOUBLE[], q.qe), 6) AS cos_sim
+FROM embeddings e, q
+WHERE e.vec_id <> 0
+ORDER BY round(list_cosine_similarity(e.embedding::DOUBLE[], q.qe), 6) DESC,
+         e.vec_id
+LIMIT 10
+"""
+
+
+def q_cosine_neardup(sf_dir):
+    """Embedding-cosine near-dup pairs within a label block."""
+    ds = _t(sf_dir, "embeddings", columns=["label", "vec_id", "embedding"])
+    return similarity.cosine_neardup_pairs(ds, threshold=0.3)
+
+
+SQL_COSINE_NEARDUP = """
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round(list_cosine_similarity(a.embedding::DOUBLE[],
+                                    b.embedding::DOUBLE[]), 6) AS cos_sim
+FROM embeddings a JOIN embeddings b
+  ON a.label = b.label AND a.vec_id < b.vec_id
+WHERE list_cosine_similarity(a.embedding::DOUBLE[],
+                             b.embedding::DOUBLE[]) >= 0.3
+"""
+
+
+# --- non-SQL-expressible ops (driver records rows-only checks) ---------------
+
+def q_minhash_pairs(sf_dir):
+    ds = _t(sf_dir, "documents", columns=["doc_id", "text"])
+    return neardup.minhash_lsh_pairs(ds, threshold=0.5)
+
+
+def q_simhash_pairs(sf_dir):
+    ds = _t(sf_dir, "documents", columns=["doc_id", "text"])
+    return neardup.simhash_pairs(ds, max_hamming=3)
+
+
+def q_jaccard_pairs(sf_dir):
+    ds = _t(sf_dir, "documents", columns=["doc_id", "source", "text"])
+    return neardup.ngram_jaccard_pairs(ds, block_col="source", n=3,
+                                       threshold=0.2)
+
+
+def q_lsh_ann(sf_dir):
+    q = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"),
+                      columns=["vec_id", "embedding"],
+                      filters=[("vec_id", "=", 0)])
+    qvec = np.asarray(q.column("embedding").to_pylist()[0], dtype=np.float64)
+    ds = _t(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    return similarity.lsh_ann(ds, qvec, k=10).to_pandas()[["vec_id", "cos_sim"]]
+
+
+def q_chunk_documents(sf_dir):
+    """Reference chunker over the documents table (chunk/merge/overlap/
+    dedupe + exact id derivation)."""
+    ds = _t(sf_dir, "documents", columns=["doc_id", "text", "lang"])
+
+    def to_chunks(t: pa.Table) -> pa.Table:
+        rows = []
+        for doc_id, text, lang in zip(t["doc_id"].to_pylist(),
+                                      t["text"].to_pylist(),
+                                      t["lang"].to_pylist()):
+            for r in chunk_records(str(doc_id), text or "", lang=lang or ""):
+                rows.append({"doc_id": doc_id, "chunk_index": r["chunk_index"],
+                             "id": r["id"], "n_chars": r["n_chars"],
+                             "is_duplicate": r["is_duplicate"]})
+        schema = pa.schema([("doc_id", pa.int64()), ("chunk_index", pa.int32()),
+                            ("id", pa.string()), ("n_chars", pa.int64()),
+                            ("is_duplicate", pa.bool_())])
+        return pa.Table.from_pylist(rows, schema=schema) if rows \
+            else schema.empty_table()
+
+    return ds.map_batches(to_chunks, batch_format="pyarrow")
+
+
+def q_extract_pages(sf_dir):
+    """Flagship extraction over pages synthesized from the documents table
+    (deterministic, row-local). Byte-identity is enforced by pytest against
+    the oracle; the driver records a rows-only check here."""
+    ds = _t(sf_dir, "documents", columns=["doc_id", "text", "lang"])
+    pages = ds.map_batches(pages_from_documents_batch, batch_format="pyarrow")
+    docs = pages.map_batches(ExtractPages, batch_format="pyarrow",
+                             batch_size=64, concurrency=(1, 8))
+    return docs.select_columns(["url", "method", "text_sha256", "n_chars"])
+
+
+def q_rolling_fingerprint(sf_dir):
+    ds = _t(sf_dir, "documents", columns=["doc_id", "text"])
+    return ds.map_batches(textstats.rolling_fingerprint_batch,
+                          batch_format="pandas")
+
+
+def queries() -> Dict[str, Callable]:
+    return {
+        "agg_rollup": q_agg_rollup,
+        "filter_project": q_filter_project,
+        "topk_orders": q_topk_orders,
+        "topk_per_group": q_topk_per_group,
+        "broadcast_join_agg": q_broadcast_join_agg,
+        "distinct_event_types": q_distinct_event_types,
+        "status_counts": q_status_counts,
+        "events_by_user": q_events_by_user,
+        "events_hourly": q_events_hourly,
+        "dedup_exact": q_dedup_exact,
+        "fingerprint": q_fingerprint,
+        "token_count": q_token_count,
+        "lang_id": q_lang_id,
+        "quality": q_quality,
+        "knn_bruteforce": q_knn_bruteforce,
+        "cosine_neardup": q_cosine_neardup,
+        "minhash_pairs": q_minhash_pairs,
+        "simhash_pairs": q_simhash_pairs,
+        "jaccard_pairs": q_jaccard_pairs,
+        "lsh_ann": q_lsh_ann,
+        "chunk_documents": q_chunk_documents,
+        "extract_pages": q_extract_pages,
+        "rolling_fingerprint": q_rolling_fingerprint,
+    }
+
+
+def oracle_sql() -> Dict[str, str]:
+    return {
+        "agg_rollup": SQL_AGG_ROLLUP,
+        "filter_project": SQL_FILTER_PROJECT,
+        "topk_orders": SQL_TOPK_ORDERS,
+        "topk_per_group": SQL_TOPK_PER_GROUP,
+        "broadcast_join_agg": SQL_BROADCAST_JOIN_AGG,
+        "distinct_event_types": SQL_DISTINCT_EVENT_TYPES,
+        "status_counts": SQL_STATUS_COUNTS,
+        "events_by_user": SQL_EVENTS_BY_USER,
+        "events_hourly": SQL_EVENTS_HOURLY,
+        "dedup_exact": SQL_DEDUP_EXACT,
+        "fingerprint": SQL_FINGERPRINT,
+        "token_count": SQL_TOKEN_COUNT,
+        "lang_id": SQL_LANG_ID,
+        "quality": SQL_QUALITY,
+        "knn_bruteforce": SQL_KNN_BRUTEFORCE,
+        "cosine_neardup": SQL_COSINE_NEARDUP,
+        # minhash/simhash/jaccard/lsh_ann/chunk_documents/extract_pages/
+        # rolling_fingerprint: non-SQL-expressible -> rows-only checks
+    }

@@ -1,0 +1,136 @@
+"""Similarity search over an embedding column (list<float>).
+
+- ``knn_bruteforce``: exact cosine top-k. The query matrix is broadcast ONCE
+  via ``ray.put`` and read zero-copy inside every ``map_batches`` task (never
+  re-shipped per batch); each batch computes a numpy matmul partial top-k,
+  the global top-k is a small ``sort().limit()``. Reference analog: the
+  per-collection knn + global merge-sort top-k
+  (/root/reference/src/utils/course_outline/rag_py.py:266-291).
+- ``lsh_ann``: the scale path — seeded random-hyperplane LSH buckets
+  (Charikar 2002); exact cosine only within the query's bucket. Trades
+  recall for touching 1/2^bits of the data.
+- ``cosine_neardup_pairs``: embedding-cosine near-duplicate pairs within a
+  blocking key (label), the embedding member of the dedup family.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray
+import ray.data
+
+LSH_PLANES = 12
+
+
+def _as_matrix(col) -> np.ndarray:
+    arr = np.asarray([np.asarray(v, dtype=np.float64) for v in col])
+    return arr
+
+
+def _normalize(m: np.ndarray) -> np.ndarray:
+    norms = np.linalg.norm(m, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    return m / norms
+
+
+class _BatchTopK:
+    """Per-batch partial top-k against a broadcast query matrix."""
+
+    def __init__(self, query_ref, k: int, id_col: str, vec_col: str,
+                 exclude_ids):
+        self.q = _normalize(np.atleast_2d(np.asarray(ray.get(query_ref),
+                                                     dtype=np.float64)))
+        self.k = k
+        self.id_col = id_col
+        self.vec_col = vec_col
+        self.exclude = set(exclude_ids or [])
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        ids = batch[self.id_col].to_numpy()
+        m = _normalize(_as_matrix(batch[self.vec_col]))
+        sims = m @ self.q.T  # (n, n_queries); single query -> (n, 1)
+        out = {"qid": [], self.id_col: [], "cos_sim": []}
+        for qi in range(sims.shape[1]):
+            s = sims[:, qi]
+            order = np.argsort(-s, kind="stable")[: self.k + len(self.exclude)]
+            for i in order:
+                if int(ids[i]) in self.exclude:
+                    continue
+                out["qid"].append(qi)
+                out[self.id_col].append(int(ids[i]))
+                out["cos_sim"].append(round(float(s[i]), 6))
+        return pd.DataFrame(out)
+
+
+def knn_bruteforce(ds: "ray.data.Dataset", query: np.ndarray, k: int = 10,
+                   *, id_col: str = "vec_id", vec_col: str = "embedding",
+                   exclude_ids=None) -> "ray.data.Dataset":
+    """Exact cosine top-k of ``query`` (1 or more vectors) over ``ds``."""
+    query_ref = ray.put(np.asarray(query, dtype=np.float64))
+    partials = ds.select_columns([id_col, vec_col]).map_batches(
+        _BatchTopK, batch_format="pandas",
+        fn_constructor_kwargs=dict(query_ref=query_ref, k=k, id_col=id_col,
+                                   vec_col=vec_col, exclude_ids=exclude_ids),
+        concurrency=(1, 8), batch_size=4096)
+    return partials.sort(["qid", "cos_sim", id_col],
+                         descending=[False, True, False]).limit(k)
+
+
+def _plane_matrix(dim: int, bits: int = LSH_PLANES, seed: int = 42) -> np.ndarray:
+    rng = np.random.RandomState(seed)
+    return rng.normal(size=(bits, dim))
+
+
+def lsh_bucket_of(vecs: np.ndarray, planes: np.ndarray) -> np.ndarray:
+    signs = (vecs @ planes.T) > 0
+    weights = (1 << np.arange(planes.shape[0])).astype(np.int64)
+    return signs.astype(np.int64) @ weights
+
+
+def lsh_ann(ds: "ray.data.Dataset", query: np.ndarray, k: int = 10, *,
+            id_col: str = "vec_id", vec_col: str = "embedding",
+            bits: int = LSH_PLANES, seed: int = 42,
+            dim: Optional[int] = None) -> "ray.data.Dataset":
+    """Approximate top-k: filter to the query's hyperplane-LSH bucket, then
+    exact cosine within it. Deterministic given the seed."""
+    q = np.asarray(query, dtype=np.float64).reshape(1, -1)
+    planes = _plane_matrix(dim or q.shape[1], bits, seed)
+    q_bucket = int(lsh_bucket_of(q, planes)[0])
+
+    def _in_bucket(batch: pd.DataFrame) -> pd.DataFrame:
+        m = _as_matrix(batch[vec_col])
+        keep = lsh_bucket_of(m, planes) == q_bucket
+        return batch.loc[keep]
+
+    candidates = ds.select_columns([id_col, vec_col]).map_batches(
+        _in_bucket, batch_format="pandas")
+    return knn_bruteforce(candidates, q, k, id_col=id_col, vec_col=vec_col)
+
+
+def _cosine_pairs_group(g: pd.DataFrame, threshold: float, id_col: str,
+                        vec_col: str) -> pd.DataFrame:
+    g = g.sort_values(id_col)
+    ids = g[id_col].to_numpy()
+    m = _normalize(_as_matrix(g[vec_col]))
+    sims = m @ m.T
+    ai, bi = np.where(np.triu(sims, k=1) >= threshold)
+    return pd.DataFrame({
+        "id_a": ids[ai].astype("int64"),
+        "id_b": ids[bi].astype("int64"),
+        "cos_sim": np.round(sims[ai, bi], 6),
+    })
+
+
+def cosine_neardup_pairs(ds: "ray.data.Dataset", *, block_col: str = "label",
+                         threshold: float = 0.95, id_col: str = "vec_id",
+                         vec_col: str = "embedding") -> "ray.data.Dataset":
+    """Embedding near-dup pairs (cos >= threshold) within a blocking key.
+    At scale the block comes from LSH buckets; blocking bounds the O(n^2)."""
+    return ds.select_columns([block_col, id_col, vec_col]).groupby(
+        block_col).map_groups(
+        lambda g: _cosine_pairs_group(g, threshold, id_col, vec_col),
+        batch_format="pandas")

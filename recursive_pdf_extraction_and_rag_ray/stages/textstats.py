@@ -1,0 +1,107 @@
+"""Text-analysis stages over a documents-style table: language-ID heuristic,
+quality scoring, token counting, fingerprinting.
+
+Reference analogs: crude language detect + readability proxy
+(/root/reference/src/utils/metadata_extractor.py:203-222), token counter
+(/root/reference/src/services/RAG/convert_to_embeddings.py:106-118), md5
+whole-file fingerprint (/root/reference/src/utils/Remove Duplicates/
+remove_duplicates.py:7-16).
+
+All batch fns are vectorized pandas string kernels. Their semantics are
+deliberately SQL-expressible so the DuckDB oracle can check them exactly
+(see __ray_entry__.oracle_sql): token split == Python ``str.split()``,
+substring counts == non-overlapping left-to-right ``str.count``.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+
+# whole-token stopword probes, counted on " "-padded text; >= 3 hits => en
+# (reference rule: >= 3 common English words, metadata_extractor.py:214-217)
+EN_STOPWORDS = ["the", "and", "of", "to", "in"]
+EN_MIN_HITS = 3
+
+
+def token_count_batch(batch: pd.DataFrame) -> pd.DataFrame:
+    text = batch["text"].fillna("")
+    n_tokens = text.str.split().str.len().fillna(0).astype("int64")
+    n_chars = text.str.len().astype("int64")
+    approx = np.maximum(1, n_chars // 4).astype("int64")  # tiktoken fallback
+    return pd.DataFrame({
+        "doc_id": batch["doc_id"],
+        "n_tokens": n_tokens,
+        "n_chars": n_chars,
+        "n_tokens_approx": approx,  # reference max(1, len//4) fallback
+    })
+
+
+def lang_id_batch(batch: pd.DataFrame) -> pd.DataFrame:
+    text = batch["text"].fillna("")
+    padded = " " + text + " "
+    hits = None
+    for w in EN_STOPWORDS:
+        c = padded.str.count(f" {w} ").astype("int64")
+        hits = c if hits is None else hits + c
+    return pd.DataFrame({
+        "doc_id": batch["doc_id"],
+        "en_hits": hits,
+        "is_en": (hits >= EN_MIN_HITS),
+    })
+
+
+def quality_score_batch(batch: pd.DataFrame) -> pd.DataFrame:
+    text = batch["text"].fillna("")
+    n_chars = text.str.len().astype("int64")
+    n_words = text.str.split().str.len().fillna(0).astype("int64")
+    n_periods = text.str.count("\\.").astype("int64")
+    n_spaces = text.str.count(" ").astype("int64")
+    denom = n_chars.replace(0, 1)
+    return pd.DataFrame({
+        "doc_id": batch["doc_id"],
+        "n_chars": n_chars,
+        "n_words": n_words,
+        "n_periods": n_periods,
+        "space_ratio": (n_spaces / denom).round(6),
+    })
+
+
+def fingerprint_batch(batch: pd.DataFrame) -> pd.DataFrame:
+    fp = batch["text"].fillna("").map(
+        lambda t: hashlib.md5(t.encode("utf-8")).hexdigest())
+    return pd.DataFrame({"doc_id": batch["doc_id"], "fp": fp})
+
+
+def rolling_fingerprint(text: str, window: int = 16, mod: int = 1 << 61) -> int:
+    """Polynomial rolling hash over the char stream; document fingerprint =
+    min window hash (a winnowing-style signature, public technique from
+    Schleimer et al., SIGMOD 2003). Not SQL-expressible; checked rows-only."""
+    if len(text) < window:
+        data = text.encode("utf-8")
+        return int.from_bytes(hashlib.sha1(data).digest()[:8], "little") % mod
+    base = 257
+    h = 0
+    pw = pow(base, window - 1, mod)
+    best = None
+    for i, ch in enumerate(text):
+        c = ord(ch) & 0xFFFF
+        if i < window:
+            h = (h * base + c) % mod
+            if i == window - 1:
+                best = h
+        else:
+            out = ord(text[i - window]) & 0xFFFF
+            h = ((h - out * pw) * base + c) % mod
+            if h < best:
+                best = h
+    return best
+
+
+def rolling_fingerprint_batch(batch: pd.DataFrame) -> pd.DataFrame:
+    return pd.DataFrame({
+        "doc_id": batch["doc_id"],
+        "rfp": batch["text"].fillna("").map(rolling_fingerprint).astype("int64"),
+    })

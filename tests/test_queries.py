@@ -1,0 +1,78 @@
+"""Replicates the driver's correctness gate: run every queries() entry at
+sf0.001 and compare row-count + sorted-values against the oracle_sql()
+DuckDB result (order-insensitive, columns matched by name)."""
+
+import math
+
+import duckdb
+import pandas as pd
+import pytest
+
+import __ray_entry__ as entrymod
+
+SF_DIR = "/root/testdata/sf0.001"
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def _to_pandas(res):
+    import pyarrow as pa
+    import ray.data
+    if isinstance(res, ray.data.Dataset):
+        return res.to_pandas()
+    if isinstance(res, pa.Table):
+        return res.to_pandas()
+    return res
+
+
+def _canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        if df[c].dtype == object:
+            df[c] = df[c].astype(str)
+        if str(df[c].dtype).startswith("float"):
+            df[c] = df[c].round(6)
+        if df[c].dtype == bool:
+            df[c] = df[c].astype(int)
+        if str(df[c].dtype) in ("uint64", "Int64", "int32", "int16"):
+            df[c] = df[c].astype("int64")
+    return df.sort_values(list(df.columns)).reset_index(drop=True)
+
+
+@pytest.fixture(scope="module")
+def con():
+    c = duckdb.connect()
+    for t in TABLES:
+        c.execute(f"CREATE VIEW {t} AS SELECT * FROM "
+                  f"read_parquet('{SF_DIR}/{t}.parquet')")
+    return c
+
+
+SQL_KEYS = sorted(entrymod.oracle_sql().keys())
+
+
+@pytest.mark.parametrize("name", SQL_KEYS)
+def test_query_matches_duckdb_oracle(name, con):
+    ray_df = _canon(_to_pandas(entrymod.queries()[name](SF_DIR)))
+    sql_df = _canon(con.sql(entrymod.oracle_sql()[name]).df())
+    assert list(ray_df.columns) == list(sql_df.columns), name
+    assert len(ray_df) == len(sql_df), name
+    pd.testing.assert_frame_equal(ray_df, sql_df, check_dtype=False,
+                                  check_exact=False, rtol=0, atol=1e-9)
+
+
+NONSQL_KEYS = sorted(set(entrymod.queries()) - set(SQL_KEYS))
+
+
+@pytest.mark.parametrize("name", NONSQL_KEYS)
+def test_nonsql_query_runs(name):
+    df = _to_pandas(entrymod.queries()[name](SF_DIR))
+    assert df is not None
+    assert len(df.columns) > 0
+
+
+def test_entry_runs_and_returns_rows():
+    ds = entrymod.entry()
+    df = _to_pandas(ds.limit(50))
+    assert len(df) > 0
+    assert "id" in df.columns and "embedding" in df.columns
