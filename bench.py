@@ -1,0 +1,190 @@
+#!/usr/bin/env python
+"""Benchmark harness: headline extraction pipeline + per-operator timings.
+
+Prints exactly ONE JSON line on stdout:
+  {"metric": "e2e_extract_pipeline", "value": <sec>, "unit": "sec",
+   "queries": {...per-query sec...}, "sf": <dir>, "num_cpus": N,
+   "docs_per_sec": ..., "n_docs": ...}
+
+Env: GRAFT_SF_DIR (default /root/testdata/sf0.1),
+     RAY_GRAFT_CPUS (default 32).
+
+--scaling: runs the headline pipeline twice in FRESH subprocesses
+(num_cpus=8 then num_cpus=32) over the identical pre-generated input and
+reports both throughputs + scaling efficiency
+(eff = T_lo / ((hi/lo) * T_hi)), the sandbox evidence for the north rule's
+two-cluster-size criterion.
+"""
+
+from __future__ import annotations
+
+import argparse
+import hashlib
+import json
+import os
+import shutil
+import subprocess
+import sys
+import time
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+
+BENCH_QUERIES = [
+    "agg_rollup", "broadcast_join_agg", "topk_orders", "events_by_user",
+    "dedup_exact", "token_count", "lang_id", "fingerprint",
+    "knn_bruteforce", "cosine_neardup", "minhash_pairs", "simhash_pairs",
+    "chunk_documents",
+]
+
+
+def _pages_dir_for(sf_dir: str, repeat: int, paras_base: int) -> str:
+    key = hashlib.sha1(
+        f"{sf_dir}|r{repeat}|p{paras_base}".encode()).hexdigest()[:10]
+    return f"/tmp/graft_bench/pages-{key}"
+
+
+# corpus scale knobs: pages per source document and content weight per page
+# (sized so useful parse compute dominates fixed pipeline overheads and the
+# two-parallelism-level comparison measures scaling, not startup)
+PAGES_REPEAT = int(os.environ.get("GRAFT_PAGES_REPEAT", "48"))
+PARAS_BASE = int(os.environ.get("GRAFT_PARAS_BASE", "12"))
+
+
+def ensure_pages(sf_dir: str, n_blocks: int = 64,
+                 repeat: int = PAGES_REPEAT,
+                 paras_base: int = PARAS_BASE) -> str:
+    """Generate (once, cached) the pages corpus for this sf_dir:
+    documents -> input_hint-shaped pages parquet shards."""
+    import functools
+
+    import ray.data
+
+    from recursive_pdf_extraction_and_rag_ray.sources.pages_gen import (
+        pages_from_documents_batch,
+    )
+
+    out = _pages_dir_for(sf_dir, repeat, paras_base)
+    marker = os.path.join(out, "_DONE")
+    if os.path.exists(marker):
+        return out
+    shutil.rmtree(out, ignore_errors=True)
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "text", "lang"],
+        override_num_blocks=n_blocks)
+    ds.map_batches(
+        functools.partial(pages_from_documents_batch, repeat=repeat,
+                          paras_base=paras_base),
+        batch_format="pyarrow").write_parquet(out)
+    with open(marker, "w") as f:
+        f.write("ok")
+    return out
+
+
+def run_headline(pages_dir: str, num_cpus: int) -> dict:
+    from recursive_pdf_extraction_and_rag_ray.pipelines.extract_pipeline import (
+        run_pipeline,
+    )
+
+    out_dir = f"/tmp/graft_bench/out-{num_cpus}-{os.getpid()}"
+    shutil.rmtree(out_dir, ignore_errors=True)
+    t0 = time.perf_counter()
+    run_pipeline(pages_dir, out_dir, concurrency=num_cpus, resume=False,
+                 build_index=True)
+    wall = time.perf_counter() - t0
+    import glob
+
+    import pyarrow.parquet as pq
+    n_docs = sum(pq.ParquetFile(p).metadata.num_rows
+                 for p in glob.glob(os.path.join(pages_dir, "*.parquet")))
+    shutil.rmtree(out_dir, ignore_errors=True)
+    return {"wall_s": wall, "n_docs": n_docs,
+            "docs_per_sec": n_docs / wall if wall > 0 else 0.0}
+
+
+def run_queries(sf_dir: str) -> dict:
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data
+
+    from recursive_pdf_extraction_and_rag_ray.pipelines import queries as qmod
+    reg = qmod.queries()
+    out = {}
+    for name in BENCH_QUERIES:
+        t0 = time.perf_counter()
+        res = reg[name](sf_dir)
+        if isinstance(res, ray.data.Dataset):
+            res.count()  # consume the lazy plan
+        out[name] = round(time.perf_counter() - t0, 3)
+    return out
+
+
+def single_run(num_cpus: int, sf_dir: str, with_queries: bool) -> dict:
+    import ray
+    ray.init(address="local", num_cpus=num_cpus, include_dashboard=False,
+             logging_level="ERROR")
+    import ray.data
+    ray.data.DataContext.get_current().enable_progress_bars = False
+    try:
+        pages_dir = ensure_pages(sf_dir)
+        head = run_headline(pages_dir, num_cpus)
+        q = run_queries(sf_dir) if with_queries else {}
+    finally:
+        ray.shutdown()
+    return {
+        "metric": "e2e_extract_pipeline",
+        "value": round(head["wall_s"], 3),
+        "unit": "sec",
+        "queries": q,
+        "sf": sf_dir,
+        "num_cpus": num_cpus,
+        "n_docs": head["n_docs"],
+        "docs_per_sec": round(head["docs_per_sec"], 2),
+    }
+
+
+def scaling_run(sf_dir: str, lo: int = 8, hi: int = 32) -> dict:
+    """Same job at two parallelism levels in fresh processes."""
+    results = {}
+    for cpus in (lo, hi):
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(cpus), GRAFT_SF_DIR=sf_dir)
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--no-queries"],
+            capture_output=True, text=True, env=env,
+            cwd=os.path.dirname(os.path.abspath(__file__)))
+        line = [ln for ln in proc.stdout.strip().splitlines()
+                if ln.startswith("{")][-1]
+        results[cpus] = json.loads(line)
+    t_lo, t_hi = results[lo]["value"], results[hi]["value"]
+    eff = (t_lo * lo) / (t_hi * hi) if t_hi > 0 else 0.0
+    return {
+        "metric": "scaling_efficiency",
+        "value": round(eff, 3),
+        "unit": "ratio",
+        "lo_cpus": lo, "hi_cpus": hi,
+        "lo_sec": t_lo, "hi_sec": t_hi,
+        "lo_docs_per_sec": results[lo]["docs_per_sec"],
+        "hi_docs_per_sec": results[hi]["docs_per_sec"],
+        "sf": sf_dir,
+        "num_cpus": hi,
+        "queries": {},
+    }
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--scaling", action="store_true")
+    ap.add_argument("--no-queries", action="store_true")
+    ap.add_argument("--lo", type=int, default=8)
+    ap.add_argument("--hi", type=int, default=32)
+    args = ap.parse_args()
+    if args.scaling:
+        out = scaling_run(SF_DIR, args.lo, args.hi)
+    else:
+        out = single_run(NUM_CPUS, SF_DIR, with_queries=not args.no_queries)
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

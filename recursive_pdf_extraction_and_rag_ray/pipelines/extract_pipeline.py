@@ -58,6 +58,15 @@ def _default_concurrency() -> int:
         return 4
 
 
+def _pool(concurrency) -> tuple:
+    """Actor-pool sizing: autoscale (1, n) so read/write tasks are never
+    starved — a fixed pool of size == cluster CPUs deadlocks the pipeline
+    (actors hold every CPU, ReadParquet tasks can't schedule)."""
+    if isinstance(concurrency, tuple):
+        return concurrency
+    return (1, max(1, int(concurrency)))
+
+
 def list_shards(input_dir_or_paths) -> List[str]:
     if isinstance(input_dir_or_paths, (list, tuple)):
         return sorted(input_dir_or_paths)
@@ -145,7 +154,7 @@ def run_extract_stage(input_dir_or_paths, out_dir: str, *,
     ds = ray.data.read_parquet(pending, include_paths=True)
     docs = ds.map_batches(
         ExtractPages, batch_format="pyarrow", batch_size=batch_size,
-        concurrency=conc, num_cpus=1)
+        concurrency=_pool(conc), num_cpus=1)
     docs.write_parquet(docs_dir, partition_cols=["shard"])
 
     # read back only the projection needed for the commit record
@@ -179,9 +188,15 @@ def _non_empty(batch: pa.Table) -> pa.Table:
 
 
 def run_rag_stage(out_dir: str, *, concurrency: Optional[int] = None,
-                  embed_batch: int = 96, resume: bool = True,
+                  embed_batch: int = 512, resume: bool = True,
                   embedder_cls=HashEmbedder) -> Dict[str, int]:
-    """out_dir/docs -> dedup-mark -> chunk -> embed -> out_dir/chunks."""
+    """out_dir/docs -> dedup-mark -> chunk -> embed -> out_dir/chunks.
+
+    Dedup winners are computed over the FULL corpus with one vectorized
+    (url, text_sha256) hash aggregate; only the duplicate-group winner map
+    is broadcast. Chunk/embed then read ONLY the pending shards' files."""
+    from ..stages.dedup import MarkDuplicatesFromBroadcast, compute_dup_winners
+
     docs_dir = os.path.join(out_dir, "docs")
     chunks_dir = os.path.join(out_dir, "chunks")
     if not os.path.isdir(docs_dir):
@@ -196,20 +211,27 @@ def run_rag_stage(out_dir: str, *, concurrency: Optional[int] = None,
     _clean_partitions(chunks_dir, pending)
 
     conc = concurrency or _default_concurrency()
-    # dedup marking must see the FULL corpus (winners are global); chunking
-    # and embedding then run only on pending shards.
-    docs = ray.data.read_parquet(docs_dir)
-    docs = docs.map_batches(_non_empty, batch_format="pyarrow")
-    marked = mark_exact_duplicates(docs)
-    pending_set = set(pending)
-    todo = marked.map_batches(
-        lambda t, ps=pending_set: t.filter(
-            pc.is_in(t["shard"], value_set=pa.array(list(ps)))),
-        batch_format="pyarrow")
+    # global dedup winners: column-pruned scan of ALL shards (cheap)
+    key_cols = ray.data.read_parquet(docs_dir, columns=["url", "text_sha256",
+                                                        "method"])
+    winners = compute_dup_winners(
+        key_cols.map_batches(_non_empty, batch_format="pyarrow"))
+    winners_ref = ray.put(winners)
+
+    # heavy columns: read only the pending shards' files
+    docs = ray.data.read_parquet(
+        _partition_files(docs_dir, pending), include_paths=True,
+        columns=["url", "text_extracted", "text_sha256", "method", "lang",
+                 "host", "group_key"],
+    ).map_batches(_attach_shard_from_path, batch_format="pyarrow")
+    todo = docs.map_batches(_non_empty, batch_format="pyarrow") \
+        .map_batches(MarkDuplicatesFromBroadcast, batch_format="pyarrow",
+                     fn_constructor_kwargs={"winners_ref": winners_ref},
+                     concurrency=_pool(conc))
     chunks = todo.map_batches(chunk_docs_batch, batch_format="pyarrow")
     embedded = chunks.map_batches(
         embedder_cls, batch_format="pyarrow", batch_size=embed_batch,
-        concurrency=conc, num_cpus=1)
+        concurrency=_pool(conc), num_cpus=1)
     embedded.write_parquet(chunks_dir, partition_cols=["shard"])
 
     written = ray.data.read_parquet(
@@ -237,6 +259,11 @@ def run_index_stage(out_dir: str) -> str:
     ds = ds.map_batches(
         lambda t: t.filter(pc.equal(t["is_duplicate"], False)),
         batch_format="pyarrow")
+    # coalesce write tasks before the hive write: every write task emits one
+    # file per key it holds, so file count = write_tasks x keys_per_task.
+    # (A global sort/hash-exchange co-locates keys perfectly but costs more
+    # than it saves at this scale — measured 19s sort vs 5s write.)
+    ds = ds.repartition(8)
     ds.write_parquet(index_dir, partition_cols=["group_key"])
     return index_dir
 

@@ -195,7 +195,8 @@ def synthesize_corpus(out_dir: str, n_docs: int = 500, n_shards: int = 8,
         lang = langs[i % len(langs)]
         giant = (i % 211 == 13)
         if giant:
-            paras = _content_paras(rng, WORDS, 250)  # ~100x median size
+            # ~100x median size, multi-hundred layout pages (skew fixture)
+            paras = _content_paras(rng, WORDS, 600)
         elif i % 37 == 5:
             # intra-doc repeated paragraphs: alternate two >max_chars paras so
             # merged+overlapped chunks repeat (exercises chunking.py:50-61 analog)
@@ -216,7 +217,8 @@ def synthesize_corpus(out_dir: str, n_docs: int = 500, n_shards: int = 8,
             dup_content[i] = paras
             rows.append(_page_row(i, paras, lang, seed, route=R_DIRECT))
             continue
-        rows.append(_page_row(i, paras, lang, seed))
+        rows.append(_page_row(i, paras, lang, seed,
+                              route=R_LAYOUT if giant else None))
 
     paths: List[str] = []
     per = (n_docs + n_shards - 1) // n_shards
@@ -232,34 +234,38 @@ def synthesize_corpus(out_dir: str, n_docs: int = 500, n_shards: int = 8,
 
 
 def pages_from_documents_batch(batch: pa.Table, *, seed: int = 42,
-                               expand: int = 1) -> pa.Table:
+                               repeat: int = 1, paras_base: int = 4,
+                               paras_spread: int = 8) -> pa.Table:
     """Arrow batch transform: driver ``documents`` rows -> ``pages`` rows.
 
     Row-local and deterministic: content is a pure function of
-    ``(doc_id, text)``; rows with ``doc_id % 29 in {0, 1}`` share
-    pool-generated content (an exact-duplicate pair with different urls);
-    every 211th doc is a giant (skew fixture). ``expand`` repeats the source
-    words to scale payload size for benchmarks.
+    ``(doc_id, repeat_index, text)``; rows with page index ``i % 29 in
+    {0, 1}`` share pool-generated content (an exact-duplicate pair with
+    different urls); every 211th page is a giant (skew fixture). ``repeat``
+    emits that many pages per source document (distinct urls/content) so
+    benchmarks can scale the corpus independently of the documents table.
     """
     doc_ids = batch.column("doc_id").to_pylist()
     texts = batch.column("text").to_pylist()
     langs = batch.column("lang").to_pylist()
     out: List[Dict] = []
     for doc_id, text, lang in zip(doc_ids, texts, langs):
-        i = int(doc_id)
-        rng = random.Random((seed << 22) ^ (i - (i % 29 == 1)))
-        if i % 29 in (0, 1):
-            paras = _content_paras(rng, WORDS, 6)
-            out.append(_page_row(i, paras, lang, seed, route=R_DIRECT))
-            continue
-        words = (text.split() or ["empty"]) * max(1, expand)
-        if i % 211 == 13:
-            paras = _content_paras(rng, words, 200)  # giant doc
-        elif i % 37 == 5:
-            a = _paragraph(rng, words, 400)
-            b = _paragraph(rng, words, 400)
-            paras = [a, b, a, b, a, b]
-        else:
-            paras = _content_paras(rng, words, 4 + rng.randrange(8))
-        out.append(_page_row(i, paras, lang, seed))
+        for r in range(max(1, repeat)):
+            i = int(doc_id) * max(1, repeat) + r
+            rng = random.Random((seed << 22) ^ (i - (i % 29 == 1)))
+            if i % 29 in (0, 1):
+                paras = _content_paras(rng, WORDS, 6)
+                out.append(_page_row(i, paras, lang, seed, route=R_DIRECT))
+                continue
+            words = text.split() or ["empty"]
+            if i % 211 == 13:
+                paras = _content_paras(rng, words, 200)  # giant doc
+            elif i % 37 == 5:
+                a = _paragraph(rng, words, 400)
+                b = _paragraph(rng, words, 400)
+                paras = [a, b, a, b, a, b]
+            else:
+                paras = _content_paras(
+                    rng, words, paras_base + rng.randrange(paras_spread))
+            out.append(_page_row(i, paras, lang, seed))
     return pa.Table.from_pylist(out, schema=PAGES)

@@ -1,0 +1,163 @@
+"""Skew handling: size-hint pre-pass, explode giant layout payloads into
+page-range segments, parse segments in parallel, reassemble per url.
+
+Why: one multi-hundred-page document otherwise occupies one actor for the
+whole parse (the reference's exact failure mode — a 600-page scanned PDF
+holds a worker until the 1800 s timeout, /root/reference/src/services/RAG/
+convert_to_embeddings.py:456,602-638). Ray-native fix: make the unit of
+work a bounded segment, then a keyed reassembly.
+
+    pages -> map_batches(explode: giant layout docs -> N segment rows)
+          -> map_batches(ExtractSegments actor pool)     # bounded work units
+          -> groupby(url).map_groups(reassemble)          # keyed shuffle
+
+Partitioning assumption (documented per north rule): header/footer census
+is segment-local, so reassembled text is byte-identical to the whole-doc
+parse iff furniture repeats uniformly across pages (per-page running
+heads/footers — true for the corpus generator and the common real-world
+case; a doc whose furniture appears on < 50% of a segment's pages could
+differ). The conformance test pins this on the synthetic giants.
+
+Non-layout (HTML) payloads are never split — a DOM parse is not
+page-decomposable — so the explode is a no-op for them (seg 0 of 1).
+"""
+
+from __future__ import annotations
+
+from typing import List
+
+import pyarrow as pa
+import ray.data
+
+from ..functions.extract_doc import extract_document
+from ..functions.layout import LAYOUT_MAGIC, is_layout_payload
+from ..functions.textproc import sha256_text
+
+DEFAULT_MAX_PAGES = 50
+
+SEG_SCHEMA = pa.schema([
+    ("url", pa.string()),
+    ("seg_index", pa.int32()),
+    ("n_segs", pa.int32()),
+    ("text", pa.string()),
+    ("html", pa.large_binary()),
+    ("lang", pa.string()),
+])
+
+
+def split_layout_payload(payload: bytes, max_pages: int) -> List[bytes]:
+    """Split a layout payload into <= max_pages-page sub-payloads, each a
+    valid payload (magic + PAGE blocks)."""
+    text = payload.decode("utf-8", errors="replace")
+    lines = text.split("\n")
+    pages: List[List[str]] = []
+    cur: List[str] = []
+    for ln in lines[1:]:
+        if ln.startswith("PAGE "):
+            if cur:
+                pages.append(cur)
+            cur = [ln]
+        elif ln:
+            cur.append(ln)
+    if cur:
+        pages.append(cur)
+    if len(pages) <= max_pages:
+        return [payload]
+    # balanced split: every segment gets >= 2 pages, so per-page furniture
+    # always meets the segment-local census threshold max(2, ceil(0.5*s))
+    n = len(pages)
+    n_segs = -(-n // max_pages)
+    size = -(-n // n_segs)
+    segs: List[bytes] = []
+    magic = LAYOUT_MAGIC.decode()
+    for i in range(0, n, size):
+        body = "\n".join("\n".join(p) for p in pages[i:i + size])
+        segs.append(f"{magic}\n{body}".encode("utf-8"))
+    return segs
+
+
+def explode_giants_batch(batch: pa.Table,
+                         max_pages: int = DEFAULT_MAX_PAGES) -> pa.Table:
+    """pages batch -> segment rows. Direct-text and HTML rows pass through
+    as a single segment."""
+    rows = []
+    for url, text, html, lang in zip(batch["url"].to_pylist(),
+                                     batch["text"].to_pylist(),
+                                     batch["html"].to_pylist(),
+                                     batch["lang"].to_pylist()):
+        payload = html or b""
+        if is_layout_payload(payload) and not (text or "").strip():
+            segs = split_layout_payload(payload, max_pages)
+        else:
+            segs = [payload]
+        n = len(segs)
+        for k, seg in enumerate(segs):
+            rows.append({"url": url, "seg_index": k, "n_segs": n,
+                         "text": text if k == 0 else "",
+                         "html": seg, "lang": lang})
+    return pa.Table.from_pylist(rows, schema=SEG_SCHEMA)
+
+
+class ExtractSegments:
+    """Actor-pool extraction over bounded segments (same per-row semantics
+    as stages.extract.ExtractPages, minus url-meta)."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        out = {"url": [], "seg_index": [], "n_segs": [], "seg_text": [],
+               "seg_method": [], "lang": []}
+        for url, seg_index, n_segs, text, html, lang in zip(
+                batch["url"].to_pylist(), batch["seg_index"].to_pylist(),
+                batch["n_segs"].to_pylist(), batch["text"].to_pylist(),
+                batch["html"].to_pylist(), batch["lang"].to_pylist()):
+            tx, method, _ = extract_document(text or "", html or b"")
+            out["url"].append(url)
+            out["seg_index"].append(seg_index)
+            out["n_segs"].append(n_segs)
+            out["seg_text"].append(tx)
+            out["seg_method"].append(method)
+            out["lang"].append(lang)
+        return pa.table({
+            "url": pa.array(out["url"], pa.string()),
+            "seg_index": pa.array(out["seg_index"], pa.int32()),
+            "n_segs": pa.array(out["n_segs"], pa.int32()),
+            "seg_text": pa.array(out["seg_text"], pa.large_string()),
+            "seg_method": pa.array(out["seg_method"], pa.string()),
+            "lang": pa.array(out["lang"], pa.string()),
+        })
+
+
+def _reassemble_group(group: pa.Table) -> pa.Table:
+    idx = group.column("seg_index").to_pylist()
+    texts = group.column("seg_text").to_pylist()
+    methods = group.column("seg_method").to_pylist()
+    order = sorted(range(len(idx)), key=lambda i: idx[i])
+    # multi-segment docs are layout parses: page texts join with "\n"
+    # (ocr_engine.py:258 analog); single segments pass through untouched
+    parts = [texts[i] for i in order if texts[i]]
+    full = "\n".join(parts) if len(order) > 1 else (texts[order[0]] if order else "")
+    method = methods[order[0]] if order else "empty"
+    if len(order) > 1:
+        method = "parsed" if any(t for t in parts) else "empty"
+    url = group.column("url").to_pylist()[0]
+    lang = group.column("lang").to_pylist()[0]
+    return pa.table({
+        "url": pa.array([url], pa.string()),
+        "text_extracted": pa.array([full], pa.large_string()),
+        "text_sha256": pa.array([sha256_text(full)], pa.string()),
+        "method": pa.array([method], pa.string()),
+        "n_chars": pa.array([len(full)], pa.int64()),
+        "lang": pa.array([lang], pa.string()),
+    })
+
+
+def extract_with_giant_split(pages: "ray.data.Dataset", *,
+                             max_pages: int = DEFAULT_MAX_PAGES,
+                             concurrency=(1, 8),
+                             batch_size: int = 32) -> "ray.data.Dataset":
+    """The skew-safe extraction pipeline variant."""
+    segs = pages.map_batches(
+        lambda t: explode_giants_batch(t, max_pages), batch_format="pyarrow")
+    parsed = segs.map_batches(ExtractSegments, batch_format="pyarrow",
+                              batch_size=batch_size, concurrency=concurrency)
+    return parsed.groupby("url").map_groups(_reassemble_group,
+                                            batch_format="pyarrow")

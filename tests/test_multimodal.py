@@ -1,0 +1,62 @@
+"""Multimodal plumbing: actor-pool decode/resize/frame-sample over binary
+columns (decode kernel stubbed by a deterministic fake format)."""
+
+import pyarrow as pa
+import ray.data
+
+from recursive_pdf_extraction_and_rag_ray.stages.multimodal import (
+    DecodeImageFeatures,
+    ResizeImage,
+    SampleVideoFrames,
+    make_fake_image,
+    parse_fake_image,
+)
+
+
+def _media_table(n=8):
+    rows = []
+    for i in range(n):
+        rows.append({
+            "media_id": i,
+            "kind": "image",
+            "payload": make_fake_image(i, 32 + i * 8, 24 + i * 4),
+            "meta": {"source": f"s{i}", "codec": "rpximg1"},
+        })
+    return pa.Table.from_pylist(rows)
+
+
+def test_decode_features_actor_pool():
+    ds = ray.data.from_arrow(_media_table())
+    out = ds.map_batches(DecodeImageFeatures, batch_format="pyarrow",
+                         batch_size=4, concurrency=(1, 2)).to_pandas()
+    assert len(out) == 8
+    assert (out["width"] == [32 + i * 8 for i in range(8)]).all()
+    assert out["histogram"].map(len).eq(16).all()
+    # deterministic: re-run gives identical features
+    out2 = ray.data.from_arrow(_media_table()).map_batches(
+        DecodeImageFeatures, batch_format="pyarrow",
+        concurrency=(1, 2)).to_pandas()
+    assert (out.sort_values("media_id")["mean_intensity"].to_numpy()
+            == out2.sort_values("media_id")["mean_intensity"].to_numpy()).all()
+
+
+def test_resize_roundtrip():
+    ds = ray.data.from_arrow(_media_table(4))
+    out = ds.map_batches(ResizeImage, batch_format="pyarrow",
+                         fn_constructor_kwargs={"target": 16},
+                         concurrency=(1, 2)).to_pandas()
+    for p in out["payload"]:
+        w, h, c, pix = parse_fake_image(p)
+        assert (w, h) == (16, 16) and pix.shape == (16, 16, 3)
+
+
+def test_video_frame_sampling_flatmap():
+    video = b"".join(make_fake_image(i, 16, 16) for i in range(25))
+    t = pa.Table.from_pylist([{"media_id": 7, "kind": "video",
+                               "payload": video,
+                               "meta": {"source": "v", "codec": "concat"}}])
+    out = ray.data.from_arrow(t).map_batches(
+        SampleVideoFrames, batch_format="pyarrow",
+        fn_constructor_kwargs={"every": 10}, concurrency=(1, 2)).to_pandas()
+    assert list(out["frame_no"]) == [0, 10, 20]
+    assert (out["media_id"] == 7).all()

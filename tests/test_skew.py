@@ -1,0 +1,60 @@
+"""Skew-safe extraction: exploding giant layout docs into bounded segments
+and reassembling per url must be byte-identical to the whole-doc parse
+(under the documented uniform-furniture assumption)."""
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+import ray.data
+
+from recursive_pdf_extraction_and_rag_ray.functions.extract_doc import extract_document
+from recursive_pdf_extraction_and_rag_ray.functions.layout import is_layout_payload
+from recursive_pdf_extraction_and_rag_ray.stages.skewtools import (
+    extract_with_giant_split,
+    split_layout_payload,
+)
+
+
+@pytest.fixture(scope="module")
+def pages_table(tiny_corpus):
+    _, paths = tiny_corpus
+    return pa.concat_tables([pq.read_table(p) for p in paths])
+
+
+def test_split_preserves_pages_and_balances(pages_table):
+    giants = [h for h in pages_table.column("html").to_pylist()
+              if h and is_layout_payload(h) and h.count(b"PAGE 612") > 50]
+    assert giants, "corpus must contain giant layout docs"
+    for payload in giants:
+        segs = split_layout_payload(payload, 50)
+        assert len(segs) > 1
+        total = sum(s.count(b"\nPAGE ") + s.count(b"PAGE 612 792\n") > 0 and
+                    s.count(b"PAGE 612") for s in segs)
+        assert total == payload.count(b"PAGE 612")
+        assert min(s.count(b"PAGE 612") for s in segs) >= 2
+
+
+def test_exploded_extraction_matches_whole_doc(pages_table):
+    expected = {}
+    for row in pages_table.to_pylist():
+        tx, method, _ = extract_document(row["text"] or "", row["html"] or b"")
+        expected[row["url"]] = (tx, method)
+
+    ds = ray.data.from_arrow(pages_table)
+    out = extract_with_giant_split(ds, max_pages=50, concurrency=(1, 3))
+    got = out.to_pandas()
+    assert len(got) == len(expected)
+    for _, r in got.iterrows():
+        exp_text, exp_method = expected[r["url"]]
+        assert r["text_extracted"] == exp_text, r["url"]   # byte-identical
+        assert r["method"] == exp_method, r["url"]
+
+
+def test_giants_actually_fan_out(pages_table):
+    from recursive_pdf_extraction_and_rag_ray.stages.skewtools import (
+        explode_giants_batch,
+    )
+    segs = explode_giants_batch(pages_table, max_pages=50)
+    n_segs = segs.column("n_segs").to_pylist()
+    assert max(n_segs) > 1                 # giants split
+    assert min(n_segs) == 1                # normal docs untouched
