@@ -47,8 +47,8 @@ def _pages_dir_for(sf_dir: str, repeat: int, paras_base: int) -> str:
 # corpus scale knobs: pages per source document and content weight per page
 # (sized so useful parse compute dominates fixed pipeline overheads and the
 # two-parallelism-level comparison measures scaling, not startup)
-PAGES_REPEAT = int(os.environ.get("GRAFT_PAGES_REPEAT", "48"))
-PARAS_BASE = int(os.environ.get("GRAFT_PARAS_BASE", "12"))
+PAGES_REPEAT = int(os.environ.get("GRAFT_PAGES_REPEAT", "60"))
+PARAS_BASE = int(os.environ.get("GRAFT_PARAS_BASE", "36"))
 
 
 def ensure_pages(sf_dir: str, n_blocks: int = 64,

@@ -246,24 +246,29 @@ def run_rag_stage(out_dir: str, *, concurrency: Optional[int] = None,
     return {"shards_total": len(all_shards), "shards_run": len(pending)}
 
 
-def run_index_stage(out_dir: str) -> str:
+def run_index_stage(out_dir: str, concurrency: Optional[int] = None) -> str:
     """chunks -> index shards partitioned by group_key (the index-build
-    groupby of SURVEY.md section 7.3; Chroma-collection analog)."""
+    groupby of SURVEY.md section 7.3; Chroma-collection analog).
+
+    Write tasks are coalesced to ~2x the CPU count before the hive write:
+    every write task emits one file per key it holds, so fewer tasks means
+    fewer tiny files, while keeping the write parallel. (A global
+    sort/hash-exchange would co-locate keys perfectly — one file per key —
+    but measured 2-4x slower than the write it feeds at this scale; on a
+    large cluster switch DataContext.shuffle_strategy=HASH_SHUFFLE and
+    repartition(keys=["group_key"]) instead.)"""
     chunks_dir = os.path.join(out_dir, "chunks")
     index_dir = os.path.join(out_dir, "index")
     if not os.path.isdir(chunks_dir):
         return index_dir
     if os.path.isdir(index_dir):
         shutil.rmtree(index_dir)
+    conc = concurrency or _default_concurrency()
     ds = ray.data.read_parquet(chunks_dir)
     ds = ds.map_batches(
         lambda t: t.filter(pc.equal(t["is_duplicate"], False)),
         batch_format="pyarrow")
-    # coalesce write tasks before the hive write: every write task emits one
-    # file per key it holds, so file count = write_tasks x keys_per_task.
-    # (A global sort/hash-exchange co-locates keys perfectly but costs more
-    # than it saves at this scale — measured 19s sort vs 5s write.)
-    ds = ds.repartition(8)
+    ds = ds.repartition(2 * conc)
     ds.write_parquet(index_dir, partition_cols=["group_key"])
     return index_dir
 
@@ -276,5 +281,5 @@ def run_pipeline(input_dir_or_paths, out_dir: str, *,
     stats.update({f"rag_{k}": v for k, v in run_rag_stage(
         out_dir, concurrency=concurrency, resume=resume).items()})
     if build_index:
-        run_index_stage(out_dir)
+        run_index_stage(out_dir, concurrency=concurrency)
     return stats

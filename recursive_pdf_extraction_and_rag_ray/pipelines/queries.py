@@ -69,9 +69,9 @@ def q_agg_rollup(sf_dir):
 
 SQL_AGG_ROLLUP = """
 SELECT l_returnflag, l_linestatus,
-       sum(CAST(l_quantity AS BIGINT)) AS sum_qty,
-       sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000)
-                AS BIGINT)) AS sum_revenue_e4,
+       CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+       CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000)
+                     AS BIGINT)) AS BIGINT) AS sum_revenue_e4,
        count(*) AS n_rows
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '1998-09-02'
@@ -159,9 +159,84 @@ def q_broadcast_join_agg(sf_dir):
 
 SQL_BROADCAST_JOIN_AGG = """
 SELECT c_mktsegment, count(*) AS n_orders,
-       sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS sum_total_cents
+       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS sum_total_cents
 FROM orders JOIN customer ON o_custkey = c_custkey
 GROUP BY c_mktsegment
+"""
+
+
+def q_hash_join_agg(sf_dir):
+    """Distributed hash join (lineitem x orders on orderkey) + grouped
+    aggregate — the shuffle-join path for when neither side broadcasts
+    (complements q_broadcast_join_agg)."""
+    li = _t(sf_dir, "lineitem", columns=["l_orderkey", "l_extendedprice",
+                                         "l_discount"])
+
+    def to_cents(t: pa.Table) -> pa.Table:
+        rev = pc.cast(pc.round(pc.multiply(
+            pc.multiply(t["l_extendedprice"],
+                        pc.subtract(pa.scalar(1.0), t["l_discount"])),
+            pa.scalar(10000.0))), pa.int64())
+        return t.append_column("revenue_e4", rev).drop_columns(
+            ["l_extendedprice", "l_discount"])
+
+    li = li.map_batches(to_cents, batch_format="pyarrow")
+    orders = _t(sf_dir, "orders", columns=["o_orderkey", "o_orderpriority"])
+    joined = li.join(orders, join_type="inner", num_partitions=8,
+                     on=("l_orderkey",), right_on=("o_orderkey",))
+    return joined.groupby("o_orderpriority").aggregate(
+        Count(alias_name="n_items"),
+        Sum("revenue_e4", alias_name="sum_revenue_e4"))
+
+
+SQL_HASH_JOIN_AGG = """
+SELECT o_orderpriority, count(*) AS n_items,
+       CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000)
+                     AS BIGINT)) AS BIGINT) AS sum_revenue_e4
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY o_orderpriority
+"""
+
+
+SESSION_GAP_MIN = 30
+
+
+def q_events_sessionize(sf_dir):
+    """Windowed/streaming analog: per-user sessionization (gap > 30 min
+    starts a new session) via groupby(user_id).map_groups — an operator
+    family the reference lacks entirely (SURVEY.md 2.10)."""
+    ds = _t(sf_dir, "events", columns=["user_id", "event_id", "ts"])
+
+    def sessions(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"])
+        gap = g["ts"].diff() > pd.Timedelta(minutes=SESSION_GAP_MIN)
+        sid = gap.cumsum().astype("int64") + 1
+        out = g.assign(session_id=sid).groupby("session_id").agg(
+            n_events=("event_id", "size"),
+            session_start=("ts", "min"),
+            session_end=("ts", "max")).reset_index()
+        out.insert(0, "user_id", g["user_id"].iloc[0])
+        return out
+
+    return ds.groupby("user_id").map_groups(sessions, batch_format="pandas")
+
+
+SQL_EVENTS_SESSIONIZE = f"""
+SELECT user_id, session_id, count(*) AS n_events,
+       min(ts) AS session_start, max(ts) AS session_end
+FROM (
+  SELECT user_id, ts,
+         1 + sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM (
+    SELECT user_id, event_id, ts,
+           CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id
+                                        ORDER BY ts, event_id)
+                     > INTERVAL '{SESSION_GAP_MIN} minutes'
+                THEN 1 ELSE 0 END AS new_sess
+    FROM events)
+)
+GROUP BY user_id, session_id
 """
 
 
@@ -416,6 +491,8 @@ def queries() -> Dict[str, Callable]:
         "topk_orders": q_topk_orders,
         "topk_per_group": q_topk_per_group,
         "broadcast_join_agg": q_broadcast_join_agg,
+        "hash_join_agg": q_hash_join_agg,
+        "events_sessionize": q_events_sessionize,
         "distinct_event_types": q_distinct_event_types,
         "status_counts": q_status_counts,
         "events_by_user": q_events_by_user,
@@ -444,6 +521,8 @@ def oracle_sql() -> Dict[str, str]:
         "topk_orders": SQL_TOPK_ORDERS,
         "topk_per_group": SQL_TOPK_PER_GROUP,
         "broadcast_join_agg": SQL_BROADCAST_JOIN_AGG,
+        "hash_join_agg": SQL_HASH_JOIN_AGG,
+        "events_sessionize": SQL_EVENTS_SESSIONIZE,
         "distinct_event_types": SQL_DISTINCT_EVENT_TYPES,
         "status_counts": SQL_STATUS_COUNTS,
         "events_by_user": SQL_EVENTS_BY_USER,

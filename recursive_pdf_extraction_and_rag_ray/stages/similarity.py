@@ -58,10 +58,11 @@ class _BatchTopK:
             s = sims[:, qi]
             order = np.argsort(-s, kind="stable")[: self.k + len(self.exclude)]
             for i in order:
-                if int(ids[i]) in self.exclude:
+                ident = ids[i].item() if hasattr(ids[i], "item") else ids[i]
+                if ident in self.exclude:
                     continue
                 out["qid"].append(qi)
-                out[self.id_col].append(int(ids[i]))
+                out[self.id_col].append(ident)
                 out["cos_sim"].append(round(float(s[i]), 6))
         return pd.DataFrame(out)
 
