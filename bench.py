@@ -9,11 +9,15 @@ Prints exactly ONE JSON line on stdout:
 Env: GRAFT_SF_DIR (default /root/testdata/sf0.1),
      RAY_GRAFT_CPUS (default 32).
 
---scaling: runs the headline pipeline twice in FRESH subprocesses
-(num_cpus=8 then num_cpus=32) over the identical pre-generated input and
-reports both throughputs + scaling efficiency
-(eff = T_lo / ((hi/lo) * T_hi)), the sandbox evidence for the north rule's
-two-cluster-size criterion.
+--scaling: runs the headline pipeline twice in FRESH subprocesses over the
+identical pre-generated input and reports both throughputs + scaling
+efficiency (eff = (T_lo*lo) / (T_hi*hi)), the sandbox evidence for the
+north rule's two-cluster-size (N vs 4N) criterion. Default comparison is
+num_cpus=4 vs 16: on a single 32-core box, running at 32 leaves no
+headroom for Ray's own daemons/driver and the shared disk, which contends
+with workers in a way a real 4N-node cluster (per-node disks, object
+stores, raylets) does not — 4 vs 16 isolates the dataflow's scaling from
+that single-node artifact. Override with --lo/--hi.
 """
 
 from __future__ import annotations
@@ -47,7 +51,7 @@ def _pages_dir_for(sf_dir: str, repeat: int, paras_base: int) -> str:
 # corpus scale knobs: pages per source document and content weight per page
 # (sized so useful parse compute dominates fixed pipeline overheads and the
 # two-parallelism-level comparison measures scaling, not startup)
-PAGES_REPEAT = int(os.environ.get("GRAFT_PAGES_REPEAT", "60"))
+PAGES_REPEAT = int(os.environ.get("GRAFT_PAGES_REPEAT", "120"))
 PARAS_BASE = int(os.environ.get("GRAFT_PARAS_BASE", "36"))
 
 
@@ -144,7 +148,7 @@ def single_run(num_cpus: int, sf_dir: str, with_queries: bool) -> dict:
     }
 
 
-def scaling_run(sf_dir: str, lo: int = 8, hi: int = 32) -> dict:
+def scaling_run(sf_dir: str, lo: int = 4, hi: int = 16) -> dict:
     """Same job at two parallelism levels in fresh processes."""
     results = {}
     for cpus in (lo, hi):
@@ -176,8 +180,8 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--scaling", action="store_true")
     ap.add_argument("--no-queries", action="store_true")
-    ap.add_argument("--lo", type=int, default=8)
-    ap.add_argument("--hi", type=int, default=32)
+    ap.add_argument("--lo", type=int, default=4)
+    ap.add_argument("--hi", type=int, default=16)
     args = ap.parse_args()
     if args.scaling:
         out = scaling_run(SF_DIR, args.lo, args.hi)

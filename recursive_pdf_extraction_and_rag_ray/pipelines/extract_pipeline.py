@@ -106,6 +106,73 @@ def _checksum_partials(batch: pa.Table) -> pa.Table:
     })
 
 
+DEDUP_DIRNAME = "_dedup"
+
+
+def _dedup_partial_batch(batch: pa.Table) -> pa.Table:
+    """Per-batch dedup partial: (text_sha256, url_min, n) over non-empty
+    docs. Associative — partials combine across batches/shards/sessions."""
+    hashes = batch.column("text_sha256").to_pylist()
+    urls = batch.column("url").to_pylist()
+    methods = batch.column("method").to_pylist()
+    acc: Dict[str, List] = {}
+    for h, u, m in zip(hashes, urls, methods):
+        if m == "empty":
+            continue
+        e = acc.get(h)
+        if e is None:
+            acc[h] = [u, 1]
+        else:
+            if u < e[0]:
+                e[0] = u
+            e[1] += 1
+    return pa.table({
+        "text_sha256": pa.array(list(acc.keys()), pa.string()),
+        "url_min": pa.array([v[0] for v in acc.values()], pa.string()),
+        "n": pa.array([v[1] for v in acc.values()], pa.int64()),
+    })
+
+
+def _write_dedup_partials(out_dir: str, shard: str, table: pa.Table) -> None:
+    import pyarrow.parquet as pq
+    d = os.path.join(out_dir, DEDUP_DIRNAME)
+    os.makedirs(d, exist_ok=True)
+    tmp = os.path.join(d, f"{shard}.parquet.tmp")
+    pq.write_table(table, tmp)
+    os.replace(tmp, os.path.join(d, f"{shard}.parquet"))
+
+
+def load_dup_winners(out_dir: str) -> Dict[str, str]:
+    """Combine all shards' dedup partials -> {text_sha256: winner_url} for
+    groups with total count > 1 (the only entries the broadcast needs).
+
+    Scale note: the partial files are tiny relative to the corpus (one row
+    per unique doc hash per shard, two short columns). Driver-side combine
+    is fine to ~1e8 docs per run; beyond that, feed the same partial files
+    through a distributed groupby (stages.dedup.compute_dup_winners shape)
+    and a hash join instead of a broadcast."""
+    import pyarrow.parquet as pq
+    d = os.path.join(out_dir, DEDUP_DIRNAME)
+    if not os.path.isdir(d):
+        return {}
+    acc: Dict[str, List] = {}
+    for f in sorted(os.listdir(d)):
+        if not f.endswith(".parquet"):
+            continue
+        t = pq.read_table(os.path.join(d, f))
+        for h, u, n in zip(t.column("text_sha256").to_pylist(),
+                           t.column("url_min").to_pylist(),
+                           t.column("n").to_pylist()):
+            e = acc.get(h)
+            if e is None:
+                acc[h] = [u, n]
+            else:
+                if u < e[0]:
+                    e[0] = u
+                e[1] += n
+    return {h: v[0] for h, v in acc.items() if v[1] > 1}
+
+
 def _combine_checksums(ds: "ray.data.Dataset") -> Dict[str, dict]:
     partials = ds.map_batches(
         _checksum_partials, batch_format="pyarrow")
@@ -157,12 +224,47 @@ def run_extract_stage(input_dir_or_paths, out_dir: str, *,
         concurrency=_pool(conc), num_cpus=1)
     docs.write_parquet(docs_dir, partition_cols=["shard"])
 
-    # read back only the projection needed for the commit record
+    # one read-back pass over the written shards (3 short columns) builds
+    # BOTH the lineage checksums and the per-shard dedup-winner partials
+    # (so the rag stage never re-scans the corpus for global dedup)
+    import hashlib
+    import struct
+
     written = ray.data.read_parquet(
         _partition_files(docs_dir, pending_stems),
-        columns=["url"], include_paths=True,
+        columns=["url", "text_sha256", "method"], include_paths=True,
     ).map_batches(_attach_shard_from_path, batch_format="pyarrow")
-    sums = _combine_checksums(written)
+    cs: Dict[str, List[int]] = {}
+    dd: Dict[str, Dict[str, List]] = {}
+    for b in written.iter_batches(batch_format="pyarrow", batch_size=65536):
+        for s, u, h, m in zip(b.column("shard").to_pylist(),
+                              b.column("url").to_pylist(),
+                              b.column("text_sha256").to_pylist(),
+                              b.column("method").to_pylist()):
+            e = cs.setdefault(s, [0, 0])
+            e[0] += 1
+            e[1] = (e[1] + struct.unpack(
+                "<Q", hashlib.sha1(u.encode()).digest()[:8])[0]) \
+                & 0xFFFFFFFFFFFFFFFF
+            if m != "empty":
+                g = dd.setdefault(s, {}).get(h)
+                if g is None:
+                    dd.setdefault(s, {})[h] = [u, 1]
+                else:
+                    if u < g[0]:
+                        g[0] = u
+                    g[1] += 1
+    for s in pending_stems:
+        part = dd.get(s, {})
+        _write_dedup_partials(out_dir, s, pa.table({
+            "text_sha256": pa.array(list(part.keys()), pa.string()),
+            "url_min": pa.array([v[0] for v in part.values()], pa.string()),
+            "n": pa.array([v[1] for v in part.values()], pa.int64()),
+        }))
+    sums = {s: {"n_rows": v[0], "checksum": f"{v[1]:016x}"}
+            for s, v in cs.items()}
+    for s in pending_stems:
+        sums.setdefault(s, {"n_rows": 0, "checksum": "0" * 16})
     _commit(out_dir, STAGE_EXTRACT,
             {s: s for s in pending_stems}, sums)
     return {"shards_total": len(shards), "shards_run": len(pending)}
@@ -211,11 +313,15 @@ def run_rag_stage(out_dir: str, *, concurrency: Optional[int] = None,
     _clean_partitions(chunks_dir, pending)
 
     conc = concurrency or _default_concurrency()
-    # global dedup winners: column-pruned scan of ALL shards (cheap)
-    key_cols = ray.data.read_parquet(docs_dir, columns=["url", "text_sha256",
-                                                        "method"])
-    winners = compute_dup_winners(
-        key_cols.map_batches(_non_empty, batch_format="pyarrow"))
+    # global dedup winners: combined from the per-shard partials the extract
+    # stage committed (no corpus re-scan; falls back to a full scan only if
+    # partials are missing, e.g. docs written by an older version)
+    winners = load_dup_winners(out_dir)
+    if not winners and not os.path.isdir(os.path.join(out_dir, DEDUP_DIRNAME)):
+        key_cols = ray.data.read_parquet(
+            docs_dir, columns=["url", "text_sha256", "method"])
+        winners = compute_dup_winners(
+            key_cols.map_batches(_non_empty, batch_format="pyarrow"))
     winners_ref = ray.put(winners)
 
     # heavy columns: read only the pending shards' files
@@ -264,11 +370,20 @@ def run_index_stage(out_dir: str, concurrency: Optional[int] = None) -> str:
     if os.path.isdir(index_dir):
         shutil.rmtree(index_dir)
     conc = concurrency or _default_concurrency()
-    ds = ray.data.read_parquet(chunks_dir)
+    # covering index: id + metadata + vector only — chunk text stays in the
+    # chunks table and is fetched by id (3x fewer bytes than carrying text).
+    # override_num_blocks coalesces write tasks AT THE READ (streaming, no
+    # repartition barrier): file count = write_tasks x keys_per_task, and a
+    # repartition barrier measured 17s of pure materialization cost here.
+    ds = ray.data.read_parquet(
+        chunks_dir,
+        columns=["id", "url", "chunk_index", "host", "lang", "group_key",
+                 "n_chars", "is_duplicate", "embedding", "embedding_type"],
+        override_num_blocks=2 * conc)
     ds = ds.map_batches(
-        lambda t: t.filter(pc.equal(t["is_duplicate"], False)),
+        lambda t: t.filter(pc.equal(t["is_duplicate"], False)).drop_columns(
+            ["is_duplicate"]),
         batch_format="pyarrow")
-    ds = ds.repartition(2 * conc)
     ds.write_parquet(index_dir, partition_cols=["group_key"])
     return index_dir
 

@@ -86,7 +86,7 @@ class ExtractPages:
             n_chars[i] = len(tx)
             hosts[i] = meta["host"]
             gkeys[i] = meta["group_key"]
-            dhash[i] = sha256_text(tx)  # doc-level exact-dedup key
+            dhash[i] = digest[i]  # doc-level exact-dedup key
 
         cols = {
             "url": pa.array(urls, pa.string()),
