@@ -148,10 +148,38 @@ def single_run(num_cpus: int, sf_dir: str, with_queries: bool) -> dict:
     }
 
 
-def scaling_run(sf_dir: str, lo: int = 4, hi: int = 16) -> dict:
-    """Same job at two parallelism levels in fresh processes."""
+def scaling_run(sf_dir: str, lo: int = 4, hi: int = 16,
+                trials: int = 1) -> dict:
+    """Same job at two parallelism levels in fresh processes. With
+    trials > 1, alternates lo/hi legs and reports the per-trial
+    efficiencies plus their median — single runs on a shared VM carry
+    +/-30% noise, the median across trials is the citable number."""
+    if trials > 1:
+        runs = [scaling_run(sf_dir, lo, hi, trials=1) for _ in range(trials)]
+        effs = sorted(r["value"] for r in runs)
+        med = effs[len(effs) // 2] if trials % 2 else round(
+            (effs[trials // 2 - 1] + effs[trials // 2]) / 2, 3)
+        best = max(runs, key=lambda r: r["value"])
+        return {
+            "metric": "scaling_efficiency_median",
+            "value": med, "unit": "ratio",
+            "trials": effs,
+            "lo_cpus": lo, "hi_cpus": hi,
+            "lo_sec": [r["lo_sec"] for r in runs],
+            "hi_sec": [r["hi_sec"] for r in runs],
+            "hi_docs_per_sec_best": best["hi_docs_per_sec"],
+            "sf": sf_dir, "num_cpus": hi, "queries": {},
+        }
     results = {}
     for cpus in (lo, hi):
+        # identical starting conditions for both legs: flush the previous
+        # leg's ~10GB of dirty pages so neither leg is throttled by the
+        # other's writeback. The input corpus stays page-cache-warm for
+        # BOTH legs (it fits in RAM on this box, and cold virtio-disk
+        # mixed read/write behavior is a single-VM artifact, not a
+        # property of the dataflow being measured).
+        subprocess.run(["sync"], check=False)
+        time.sleep(2)
         env = dict(os.environ, RAY_GRAFT_CPUS=str(cpus), GRAFT_SF_DIR=sf_dir)
         proc = subprocess.run(
             [sys.executable, os.path.abspath(__file__), "--no-queries"],
@@ -182,9 +210,10 @@ def main() -> None:
     ap.add_argument("--no-queries", action="store_true")
     ap.add_argument("--lo", type=int, default=4)
     ap.add_argument("--hi", type=int, default=16)
+    ap.add_argument("--trials", type=int, default=1)
     args = ap.parse_args()
     if args.scaling:
-        out = scaling_run(SF_DIR, args.lo, args.hi)
+        out = scaling_run(SF_DIR, args.lo, args.hi, trials=args.trials)
     else:
         out = single_run(NUM_CPUS, SF_DIR, with_queries=not args.no_queries)
     print(json.dumps(out))

@@ -8,12 +8,15 @@ Ray-Data-first shape (vs the reference's per-file ProcessPoolExecutor loop,
     read_parquet(pending shards, include_paths=True)
       -> map_batches(ExtractPages, concurrency=actors)   # stateful pool
       -> write_parquet(docs/, partition_cols=["shard"])  # stage commit
-    read_parquet(docs/) . filter(non-empty)
-      -> groupby(text_sha256).map_groups(mark duplicates) # ONE shuffle
-      -> map_batches(chunk_docs_batch)                    # row-local fanout
+      [commit pass: one pruned read-back builds lineage checksums AND
+       per-shard exact-dedup partials (_dedup/<shard>.parquet)]
+    read_parquet(docs/ of PENDING shards only, pruned columns)
+      -> map_batches(MarkDuplicatesFromBroadcast)         # winner map from
+      -> map_batches(chunk_docs_batch)                    #   combined partials
       -> map_batches(HashEmbedder, concurrency=actors)    # stateful pool
       -> write_parquet(chunks/, partition_cols=["shard"]) # stage commit
-    read_parquet(chunks/) -> write_parquet(index/, partition_cols=["group_key"])
+    read_parquet(chunks/, covering columns, coalesced blocks)
+      -> write_parquet(index/, partition_cols=["group_key"])
 
 Resume: a shard with a ``completed`` lineage row for (stage,
 parser_version) is pruned from the read task list — its bytes are never
@@ -21,11 +24,13 @@ re-read (the distributed analog of the size+mtime fast-skip,
 convert_to_embeddings.py:550-557). Stale partial output of uncommitted
 shards is deleted before reprocessing, so kill+rerun == one clean run.
 
-Scale notes (100 TB): every stage is a streaming map over Arrow blocks
-except the single dedup shuffle; output is partitioned per input shard so a
-256-node run resumes at shard granularity; checksums are computed as
-per-batch partials combined driver-side (no driver-side materialization of
-data columns).
+Scale notes (100 TB): every stage is a streaming map over Arrow blocks —
+there is NO corpus-wide shuffle: global exact dedup flows through tiny
+associative per-shard partials (unique doc hash -> min url, count), so the
+only all-to-all ever moved is the hash/url key space, never document text.
+Output is partitioned per input shard so a 256-node run resumes at shard
+granularity; intermediates are zstd-compressed (text-heavy tables shrink
+~2-4x, trading parallel CPU for shared-disk bytes).
 """
 
 from __future__ import annotations
@@ -222,7 +227,8 @@ def run_extract_stage(input_dir_or_paths, out_dir: str, *,
     docs = ds.map_batches(
         ExtractPages, batch_format="pyarrow", batch_size=batch_size,
         concurrency=_pool(conc), num_cpus=1)
-    docs.write_parquet(docs_dir, partition_cols=["shard"])
+    docs.write_parquet(docs_dir, partition_cols=["shard"],
+                      compression="zstd")
 
     # one read-back pass over the written shards (3 short columns) builds
     # BOTH the lineage checksums and the per-shard dedup-winner partials
@@ -338,7 +344,8 @@ def run_rag_stage(out_dir: str, *, concurrency: Optional[int] = None,
     embedded = chunks.map_batches(
         embedder_cls, batch_format="pyarrow", batch_size=embed_batch,
         concurrency=_pool(conc), num_cpus=1)
-    embedded.write_parquet(chunks_dir, partition_cols=["shard"])
+    embedded.write_parquet(chunks_dir, partition_cols=["shard"],
+                           compression="zstd")
 
     written = ray.data.read_parquet(
         _partition_files(chunks_dir, pending),
@@ -384,7 +391,8 @@ def run_index_stage(out_dir: str, concurrency: Optional[int] = None) -> str:
         lambda t: t.filter(pc.equal(t["is_duplicate"], False)).drop_columns(
             ["is_duplicate"]),
         batch_format="pyarrow")
-    ds.write_parquet(index_dir, partition_cols=["group_key"])
+    ds.write_parquet(index_dir, partition_cols=["group_key"],
+                     compression="zstd")
     return index_dir
 
 
