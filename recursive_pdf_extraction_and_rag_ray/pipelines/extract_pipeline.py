@@ -47,7 +47,6 @@ import ray.data
 
 from .. import PARSER_VERSION
 from ..stages.chunk import chunk_docs_batch
-from ..stages.dedup import mark_exact_duplicates
 from ..stages.embed import HashEmbedder
 from ..stages.extract import ExtractPages
 from ..state.lineage import append_lineage, completed_shards

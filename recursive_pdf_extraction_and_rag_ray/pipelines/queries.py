@@ -28,7 +28,6 @@ from ray.data.aggregate import Count, Max, Min, Sum
 
 from ..functions.textproc import chunk_records
 from ..stages import neardup, similarity, textstats
-from ..stages.chunk import chunk_docs_batch
 from ..stages.extract import ExtractPages
 from ..sources.pages_gen import pages_from_documents_batch
 

@@ -16,10 +16,9 @@ from typing import List, Optional
 
 import numpy as np
 import pyarrow.compute as pc
-import pyarrow.dataset as pads
 import ray.data
 
-from ..stages.embed import EMBED_TYPE_HASH, hash_embed_texts
+from ..stages.embed import hash_embed_texts
 from ..stages.similarity import knn_bruteforce
 
 

@@ -8,7 +8,6 @@ from __future__ import annotations
 
 from typing import List, Optional
 
-import pyarrow.compute as pc
 import ray.data
 
 

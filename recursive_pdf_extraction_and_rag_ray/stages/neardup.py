@@ -27,7 +27,6 @@ from typing import List
 import numpy as np
 import pandas as pd
 import pyarrow as pa
-import pyarrow.compute as pc
 import ray.data
 
 # --- shingling / minhash -----------------------------------------------------
