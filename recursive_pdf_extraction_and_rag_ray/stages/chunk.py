@@ -3,7 +3,9 @@ out to N chunk rows). Stateless — plain tasks, no actor pool needed.
 
 Row-local by construction (reference semantics: chunk/merge/overlap/dedupe
 all operate within one document, /root/reference/src/services/RAG/
-chunking.py:6-61), so this stage shuffles nothing.
+chunking.py:6-61), so this stage shuffles nothing. Output is accumulated
+columnar (one list per column, a single Arrow table build per batch) —
+building millions of per-row dicts measured ~2x slower.
 """
 
 from __future__ import annotations
@@ -12,14 +14,33 @@ from typing import List
 
 import pyarrow as pa
 
-from ..functions.textproc import chunk_records
+from ..functions.textproc import (
+    chunk_id,
+    chunk_text,
+    dedupe_chunks,
+    doc_hash,
+    dup_chunk_id,
+    sha1_text,
+)
+
+_COLUMNS = (
+    ("id", pa.string()), ("url", pa.string()),
+    ("chunk_index", pa.int32()), ("total_chunks_in_doc", pa.int32()),
+    ("text", pa.large_string()), ("chunk_hash", pa.string()),
+    ("doc_hash", pa.string()), ("is_duplicate", pa.bool_()),
+    ("duplicate_of_index", pa.int32()), ("duplicate_of_hash", pa.string()),
+    ("host", pa.string()), ("lang", pa.string()),
+    ("group_key", pa.string()), ("n_chars", pa.int64()),
+)
 
 
 def chunk_docs_batch(batch: pa.Table) -> pa.Table:
     """docs_extracted batch -> chunks batch. Skips method=='empty' docs
     (reference skip reason ``empty_text``, convert_to_embeddings.py:357-358)
     and docs marked as corpus-level duplicates (``duplicate_of`` non-empty),
-    mirroring the seen-files skip (convert_to_embeddings.py:559-566)."""
+    mirroring the seen-files skip (convert_to_embeddings.py:559-566).
+    Chunk ids/dup fields follow convert_to_embeddings.py:384-426 exactly
+    (via functions.textproc)."""
     has_dup_col = "duplicate_of" in batch.column_names
     has_shard = "shard" in batch.column_names
     urls = batch.column("url").to_pylist()
@@ -31,29 +52,46 @@ def chunk_docs_batch(batch: pa.Table) -> pa.Table:
     dups = batch.column("duplicate_of").to_pylist() if has_dup_col else [""] * len(urls)
     shards = batch.column("shard").to_pylist() if has_shard else [""] * len(urls)
 
-    rows: List[dict] = []
+    cols: dict = {name: [] for name, _ in _COLUMNS}
+    shard_out: List[str] = []
+
     for url, text, lang, host, gk, method, dup, shard in zip(
             urls, texts, langs, hosts, gkeys, methods, dups, shards):
-        if method == "empty" or (dup or "") != "":
+        if method == "empty" or (dup or "") != "" or not text.strip():
             continue
-        recs = chunk_records(url, text, lang=lang, group_key=gk, host=host)
-        if has_shard:
-            for r in recs:
-                r["shard"] = shard
-        rows.extend(recs)
+        chunks_all = chunk_text(text)
+        kept, dup_map = dedupe_chunks(chunks_all)
+        if not kept:
+            continue
+        d_hash = doc_hash(text)
+        total = len(chunks_all)
+        for idx, ch in enumerate(chunks_all):
+            is_dup = idx in dup_map
+            c_hash = sha1_text(ch)
+            if is_dup:
+                orig_kept_idx, orig_h = dup_map[idx]
+                cols["id"].append(dup_chunk_id(d_hash, idx, orig_h))
+                cols["duplicate_of_index"].append(orig_kept_idx)
+                cols["duplicate_of_hash"].append(orig_h)
+            else:
+                cols["id"].append(chunk_id(d_hash, idx, c_hash))
+                cols["duplicate_of_index"].append(None)
+                cols["duplicate_of_hash"].append(None)
+            cols["url"].append(url)
+            cols["chunk_index"].append(idx)
+            cols["total_chunks_in_doc"].append(total)
+            cols["text"].append(ch)
+            cols["chunk_hash"].append(c_hash)
+            cols["doc_hash"].append(d_hash)
+            cols["is_duplicate"].append(is_dup)
+            cols["host"].append(host)
+            cols["lang"].append(lang)
+            cols["group_key"].append(gk)
+            cols["n_chars"].append(len(ch))
+            if has_shard:
+                shard_out.append(shard)
 
-    schema_fields = [
-        ("id", pa.string()), ("url", pa.string()),
-        ("chunk_index", pa.int32()), ("total_chunks_in_doc", pa.int32()),
-        ("text", pa.large_string()), ("chunk_hash", pa.string()),
-        ("doc_hash", pa.string()), ("is_duplicate", pa.bool_()),
-        ("duplicate_of_index", pa.int32()), ("duplicate_of_hash", pa.string()),
-        ("host", pa.string()), ("lang", pa.string()),
-        ("group_key", pa.string()), ("n_chars", pa.int64()),
-    ]
+    arrays = {name: pa.array(cols[name], typ) for name, typ in _COLUMNS}
     if has_shard:
-        schema_fields.append(("shard", pa.string()))
-    schema = pa.schema(schema_fields)
-    if not rows:
-        return schema.empty_table()
-    return pa.Table.from_pylist(rows, schema=schema)
+        arrays["shard"] = pa.array(shard_out, pa.string())
+    return pa.table(arrays)

@@ -32,19 +32,20 @@ from ..schemas import EMBED_DIM
 EMBED_TYPE_HASH = "hash-prf-64"
 
 
-def _hash_vec(text: str, dim: int) -> np.ndarray:
-    raw = hashlib.shake_128(text.encode("utf-8")).digest(dim * 4)
-    x = np.frombuffer(raw, dtype="<u4").astype(np.float64)
-    x = x / 4294967295.0 * 2.0 - 1.0
-    norm = float(np.linalg.norm(x))
-    return (x / norm if norm > 0 else x).astype(np.float32)
-
-
 def hash_embed_texts(texts: List[str], dim: int = EMBED_DIM) -> np.ndarray:
-    out = np.empty((len(texts), dim), dtype=np.float32)
-    for i, t in enumerate(texts):
-        out[i] = _hash_vec(t, dim)
-    return out
+    """Deterministic PRF embedding: shake_128(text) -> dim u32 words ->
+    [-1, 1] floats, L2-normalized. Hashing is per-row (inherent); all float
+    work is one vectorized pass over the whole batch."""
+    if not texts:
+        return np.empty((0, dim), dtype=np.float32)
+    nbytes = dim * 4
+    buf = b"".join(
+        hashlib.shake_128(t.encode("utf-8")).digest(nbytes) for t in texts)
+    x = np.frombuffer(buf, dtype="<u4").astype(np.float64).reshape(-1, dim)
+    x = x / 4294967295.0 * 2.0 - 1.0
+    norms = np.linalg.norm(x, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    return (x / norms).astype(np.float32)
 
 
 class HashEmbedder:
