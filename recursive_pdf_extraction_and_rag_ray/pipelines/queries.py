@@ -212,8 +212,13 @@ def q_events_sessionize(sf_dir):
         sid = gap.cumsum().astype("int64") + 1
         out = g.assign(session_id=sid).groupby("session_id").agg(
             n_events=("event_id", "size"),
-            session_start=("ts", "min"),
-            session_end=("ts", "max")).reset_index()
+            session_start_s=("ts", "min"),
+            session_end_s=("ts", "max")).reset_index()
+        # integer epoch seconds: pandas ns vs duckdb us timestamps can
+        # stringify/hash differently in the driver's value compare
+        for c in ("session_start_s", "session_end_s"):
+            out[c] = out[c].astype("datetime64[ns]").astype("int64") \
+                // 1_000_000_000
         out.insert(0, "user_id", g["user_id"].iloc[0])
         return out
 
@@ -222,7 +227,8 @@ def q_events_sessionize(sf_dir):
 
 SQL_EVENTS_SESSIONIZE = f"""
 SELECT user_id, session_id, count(*) AS n_events,
-       min(ts) AS session_start, max(ts) AS session_end
+       CAST(floor(epoch(min(ts))) AS BIGINT) AS session_start_s,
+       CAST(floor(epoch(max(ts))) AS BIGINT) AS session_end_s
 FROM (
   SELECT user_id, ts,
          1 + sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
@@ -370,8 +376,9 @@ SELECT doc_id,
        CASE WHEN trim(text) = '' THEN 0
             ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS n_words,
        length(text) - length(replace(text, '.', '')) AS n_periods,
-       round((length(text) - length(replace(text, ' ', '')))
-             / greatest(length(text), 1), 6) AS space_ratio
+       CAST(floor((length(text) - length(replace(text, ' ', '')))
+                  * 1000000.0 / greatest(length(text), 1) + 0.5)
+            AS BIGINT) AS space_ppm
 FROM documents
 """
 

@@ -60,12 +60,16 @@ def quality_score_batch(batch: pd.DataFrame) -> pd.DataFrame:
     n_periods = text.str.count("\\.").astype("int64")
     n_spaces = text.str.count(" ").astype("int64")
     denom = n_chars.replace(0, 1)
+    # integer parts-per-million via floor(x + 0.5): round() would diverge
+    # from the SQL oracle on exact .5 boundaries (numpy rounds half-even,
+    # DuckDB half-away; dyadic ratios like odd/128 DO land exactly on .5)
+    ppm = np.floor(n_spaces * 1_000_000.0 / denom + 0.5).astype("int64")
     return pd.DataFrame({
         "doc_id": batch["doc_id"],
         "n_chars": n_chars,
         "n_words": n_words,
         "n_periods": n_periods,
-        "space_ratio": (n_spaces / denom).round(6),
+        "space_ppm": ppm,
     })
 
 
