@@ -48,11 +48,14 @@ def _pages_dir_for(sf_dir: str, repeat: int, paras_base: int) -> str:
     return f"/tmp/graft_bench/pages-{key}"
 
 
-# corpus scale knobs: pages per source document and content weight per page
-# (sized so useful parse compute dominates fixed pipeline overheads and the
-# two-parallelism-level comparison measures scaling, not startup)
-PAGES_REPEAT = int(os.environ.get("GRAFT_PAGES_REPEAT", "120"))
+# corpus scale knobs: pages per source document and content weight per page.
+# Single runs default to a moderate corpus (fast driver round-trips);
+# --scaling overrides to the heavy corpus so useful parse compute dominates
+# fixed pipeline overheads and the two-level comparison measures scaling,
+# not startup.
+PAGES_REPEAT = int(os.environ.get("GRAFT_PAGES_REPEAT", "48"))
 PARAS_BASE = int(os.environ.get("GRAFT_PARAS_BASE", "36"))
+SCALING_PAGES_REPEAT = int(os.environ.get("GRAFT_SCALING_PAGES_REPEAT", "120"))
 
 
 def ensure_pages(sf_dir: str, n_blocks: int = 64,
@@ -180,7 +183,8 @@ def scaling_run(sf_dir: str, lo: int = 4, hi: int = 16,
         # property of the dataflow being measured).
         subprocess.run(["sync"], check=False)
         time.sleep(2)
-        env = dict(os.environ, RAY_GRAFT_CPUS=str(cpus), GRAFT_SF_DIR=sf_dir)
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(cpus), GRAFT_SF_DIR=sf_dir,
+                   GRAFT_PAGES_REPEAT=str(SCALING_PAGES_REPEAT))
         proc = subprocess.run(
             [sys.executable, os.path.abspath(__file__), "--no-queries"],
             capture_output=True, text=True, env=env,
