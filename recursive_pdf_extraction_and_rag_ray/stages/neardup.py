@@ -87,7 +87,20 @@ def _minhash_bucket_rows(batch: pd.DataFrame) -> pd.DataFrame:
     return pd.DataFrame({"bucket": out_bucket, "doc_id": out_doc, "sig": out_sig})
 
 
+# buckets wider than this are skipped: a bucket holding hundreds of docs
+# carries no near-dup signal (its key is a degenerate/common pattern) and
+# its O(k^2) pair scan runs in ONE task — the classic LSH hot-bucket skew.
+# Standard practice is a width cap (cf. dense-bucket dropping in production
+# LSH dedup systems); at 100TB pair generation inside a bucket must be
+# bounded or a single degenerate key serializes the stage.
+MAX_BUCKET_WIDTH = 200
+
+
 def _pairs_from_bucket(group: pd.DataFrame, threshold: float) -> pd.DataFrame:
+    if len(group) > MAX_BUCKET_WIDTH:
+        return pd.DataFrame({"doc_a": pd.Series([], dtype="int64"),
+                             "doc_b": pd.Series([], dtype="int64"),
+                             "jaccard_est": pd.Series([], dtype="float64")})
     g = group.drop_duplicates("doc_id").sort_values("doc_id")
     ids = g["doc_id"].to_numpy()
     sigs = [np.frombuffer(bytes.fromhex(s), dtype=np.uint64) for s in g["sig"]]
@@ -106,13 +119,17 @@ def minhash_lsh_pairs(docs: "ray.data.Dataset",
                       threshold: float = 0.8) -> "ray.data.Dataset":
     """documents -> unique candidate near-dup pairs (doc_a < doc_b) with
     minhash-estimated Jaccard >= threshold."""
+    from ray.data.aggregate import Max
+
     buckets = docs.select_columns(["doc_id", "text"]).map_batches(
         _minhash_bucket_rows, batch_format="pandas")
     pairs = buckets.groupby("bucket").map_groups(
         lambda g: _pairs_from_bucket(g, threshold), batch_format="pandas")
-    # a pair can surface from several bands -> dedupe on (doc_a, doc_b)
-    return pairs.groupby(["doc_a", "doc_b"]).map_groups(
-        lambda g: g.head(1), batch_format="pandas")
+    # a pair can surface from several bands -> dedupe on (doc_a, doc_b) with
+    # a vectorized aggregate (per-group map_groups on millions of 2-row
+    # groups is the measured slow path; see stages/dedup.py)
+    return pairs.groupby(["doc_a", "doc_b"]).aggregate(
+        Max("jaccard_est", alias_name="jaccard_est"))
 
 
 # --- simhash -----------------------------------------------------------------
@@ -155,6 +172,10 @@ def _simhash_bucket_rows(batch: pd.DataFrame) -> pd.DataFrame:
 
 
 def _simhash_pairs(group: pd.DataFrame, max_hamming: int) -> pd.DataFrame:
+    if len(group) > MAX_BUCKET_WIDTH:
+        return pd.DataFrame({"doc_a": pd.Series([], dtype="int64"),
+                             "doc_b": pd.Series([], dtype="int64"),
+                             "hamming": pd.Series([], dtype="int64")})
     g = group.drop_duplicates("doc_id").sort_values("doc_id")
     ids = g["doc_id"].to_numpy()
     sigs = g["sig"].to_numpy()
@@ -171,12 +192,14 @@ def _simhash_pairs(group: pd.DataFrame, max_hamming: int) -> pd.DataFrame:
 
 def simhash_pairs(docs: "ray.data.Dataset",
                   max_hamming: int = SIMHASH_MAX_HAMMING) -> "ray.data.Dataset":
+    from ray.data.aggregate import Min
+
     buckets = docs.select_columns(["doc_id", "text"]).map_batches(
         _simhash_bucket_rows, batch_format="pandas")
     pairs = buckets.groupby("bucket").map_groups(
         lambda g: _simhash_pairs(g, max_hamming), batch_format="pandas")
-    return pairs.groupby(["doc_a", "doc_b"]).map_groups(
-        lambda g: g.head(1), batch_format="pandas")
+    return pairs.groupby(["doc_a", "doc_b"]).aggregate(
+        Min("hamming", alias_name="hamming"))
 
 
 # --- exact n-gram jaccard ----------------------------------------------------
