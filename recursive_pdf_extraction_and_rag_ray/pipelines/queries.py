@@ -231,8 +231,11 @@ SELECT user_id, session_id, count(*) AS n_events,
        CAST(floor(epoch(max(ts))) AS BIGINT) AS session_end_s
 FROM (
   SELECT user_id, ts,
-         1 + sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                                 ROWS UNBOUNDED PRECEDING) AS session_id
+         -- windowed sum comes back HUGEINT -> pandas float64; the engine
+         -- emits int64, and the driver's value hash distinguishes 1.0 vs 1
+         CAST(1 + sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                      ROWS UNBOUNDED PRECEDING)
+              AS BIGINT) AS session_id
   FROM (
     SELECT user_id, event_id, ts,
            CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id
@@ -337,10 +340,14 @@ def q_token_count(sf_dir):
     return ds.map_batches(textstats.token_count_batch, batch_format="pandas")
 
 
+# token split == Python str.split(): split on runs of whitespace, ignore
+# leading/trailing. list_filter drops the empty strings regexp_split emits at
+# boundaries (trim() strips only spaces, so '\nhello\n' would otherwise
+# over-count by 2 — RE2 \s and Python both cover ASCII whitespace here).
 SQL_TOKEN_COUNT = r"""
 SELECT doc_id,
-       CASE WHEN trim(text) = '' THEN 0
-            ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tokens,
+       len(list_filter(regexp_split_to_array(text, '\s+'),
+                       x -> x <> '')) AS n_tokens,
        length(text) AS n_chars,
        greatest(1, length(text) // 4) AS n_tokens_approx
 FROM documents
@@ -373,8 +380,8 @@ def q_quality(sf_dir):
 SQL_QUALITY = """
 SELECT doc_id,
        length(text) AS n_chars,
-       CASE WHEN trim(text) = '' THEN 0
-            ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS n_words,
+       len(list_filter(regexp_split_to_array(text, '\\s+'),
+                       x -> x <> '')) AS n_words,
        length(text) - length(replace(text, '.', '')) AS n_periods,
        CAST(floor((length(text) - length(replace(text, ' ', '')))
                   * 1000000.0 / greatest(length(text), 1) + 0.5)

@@ -144,8 +144,15 @@ def _route_for(i: int) -> str:
 
 
 def _page_row(i: int, paras: List[str], lang: str, seed: int,
-              route: Optional[str] = None) -> Dict:
+              route: Optional[str] = None,
+              content_key: Optional[int] = None) -> Dict:
     rng = random.Random((seed << 20) ^ i)
+    # text-affecting draws (joiner, page-break injection) come from an RNG
+    # keyed by the SHARED content index, so both rows of an exact-duplicate
+    # pair (same paras, different urls) render byte-identical text — with
+    # the per-row rng, ~20% of intended dup pairs diverged on the injected
+    # PAGE BREAK and silently weakened the corpus-dedup fixture
+    trng = random.Random((seed << 24) ^ (i if content_key is None else content_key))
     route = route or _route_for(i)
     host = _host_for(i, rng)
     section = SECTIONS[i % len(SECTIONS)]
@@ -154,9 +161,9 @@ def _page_row(i: int, paras: List[str], lang: str, seed: int,
 
     text, html = "", b""
     if route == R_DIRECT:
-        joiner = "\r\n\r\n" if rng.random() < 0.25 else "\n\n"
+        joiner = "\r\n\r\n" if trng.random() < 0.25 else "\n\n"
         body = joiner.join(paras)
-        if rng.random() < 0.2 and len(paras) > 2:
+        if trng.random() < 0.2 and len(paras) > 2:
             # inject an OCR-style page-break marker (reference main.py:163,169)
             parts = body.split(joiner)
             mid = len(parts) // 2
@@ -207,11 +214,13 @@ def synthesize_corpus(out_dir: str, n_docs: int = 500, n_shards: int = 8,
             paras = _content_paras(rng, WORDS, 4 + rng.randrange(8))
 
         if i % 29 == 1 and i > 1:
-            # exact whole-document duplicate of row i-1 (different url)
+            # exact whole-document duplicate of row i-1 (different url);
+            # content_key=i-1 replays the SAME joiner/page-break draws
             prev = dup_content.get(i - 1)
             if prev is not None:
                 paras = prev
-                rows.append(_page_row(i, paras, lang, seed, route=R_DIRECT))
+                rows.append(_page_row(i, paras, lang, seed, route=R_DIRECT,
+                                      content_key=i - 1))
                 continue
         if i % 29 == 0:
             dup_content[i] = paras
@@ -255,7 +264,8 @@ def pages_from_documents_batch(batch: pa.Table, *, seed: int = 42,
             rng = random.Random((seed << 22) ^ (i - (i % 29 == 1)))
             if i % 29 in (0, 1):
                 paras = _content_paras(rng, WORDS, 6)
-                out.append(_page_row(i, paras, lang, seed, route=R_DIRECT))
+                out.append(_page_row(i, paras, lang, seed, route=R_DIRECT,
+                                     content_key=i - (i % 29 == 1)))
                 continue
             words = text.split() or ["empty"]
             if i % 211 == 13:

@@ -60,7 +60,11 @@ def minhash_signature(text: str) -> np.ndarray:
     x = char_shingles(text)
     if len(x) == 0:
         return np.zeros(MINHASH_PERMS, dtype=np.uint64)
-    # h_i(x) = (a_i * x + b_i) mod p, universal hashing; min over shingles
+    # h_i(x) = ((a_i * x + b_i) wrapped mod 2^64) mod p — NOT exact
+    # universal hashing (a_i can reach 2^61 and x 2^32, so the uint64
+    # product wraps before the Mersenne mod). Deterministic and
+    # well-mixed in practice; Jaccard estimates remain approximately
+    # unbiased. min over shingles per permutation.
     prod = (x[None, :] * _PERM_A[:, None] + _PERM_B[:, None]) % _MERSENNE
     return prod.min(axis=1).astype(np.uint64)
 

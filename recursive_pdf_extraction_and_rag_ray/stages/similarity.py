@@ -55,8 +55,12 @@ class _BatchTopK:
         sims = m @ self.q.T  # (n, n_queries); single query -> (n, 1)
         out = {"qid": [], self.id_col: [], "cos_sim": []}
         for qi in range(sims.shape[1]):
-            s = sims[:, qi]
-            order = np.argsort(-s, kind="stable")[: self.k + len(self.exclude)]
+            # partial selection uses the SAME ordering as the global
+            # sort().limit() and the SQL oracle: 6-dp-rounded sim desc, id
+            # asc — selecting on raw sims could cut a row that wins a
+            # rounded tie on the smaller id
+            s = np.round(sims[:, qi], 6)
+            order = np.lexsort((ids, -s))[: self.k + len(self.exclude)]
             for i in order:
                 ident = ids[i].item() if hasattr(ids[i], "item") else ids[i]
                 if ident in self.exclude:

@@ -41,6 +41,17 @@ def _canon(df: pd.DataFrame) -> pd.DataFrame:
     return df.sort_values(list(df.columns)).reset_index(drop=True)
 
 
+def _dtype_kinds(df: pd.DataFrame) -> dict:
+    """Dtype CLASS per column (int-family / float / bool / object). The
+    driver's value hash distinguishes 1 from 1.0, so an engine int64 column
+    against an oracle HUGEINT->float64 column fails the driver even when
+    every value is numerically equal (round-1 events_sessionize lesson) —
+    this check catches that locally before _canon's width coercions."""
+    fold = {"u": "i", "i": "i", "b": "b", "f": "f", "O": "O", "M": "M"}
+    return {c: fold.get(df[c].dtype.kind, df[c].dtype.kind)
+            for c in sorted(df.columns)}
+
+
 @pytest.fixture(scope="module")
 def con():
     c = duckdb.connect()
@@ -55,8 +66,11 @@ SQL_KEYS = sorted(entrymod.oracle_sql().keys())
 
 @pytest.mark.parametrize("name", SQL_KEYS)
 def test_query_matches_duckdb_oracle(name, con):
-    ray_df = _canon(_to_pandas(entrymod.queries()[name](SF_DIR)))
-    sql_df = _canon(con.sql(entrymod.oracle_sql()[name]).df())
+    ray_raw = _to_pandas(entrymod.queries()[name](SF_DIR))
+    sql_raw = con.sql(entrymod.oracle_sql()[name]).df()
+    assert _dtype_kinds(ray_raw) == _dtype_kinds(sql_raw), name
+    ray_df = _canon(ray_raw)
+    sql_df = _canon(sql_raw)
     assert list(ray_df.columns) == list(sql_df.columns), name
     assert len(ray_df) == len(sql_df), name
     pd.testing.assert_frame_equal(ray_df, sql_df, check_dtype=False,
