@@ -9,24 +9,39 @@ needs (MinHash/LSH per Broder 1997; SimHash per Charikar 2002 with the
 block-permutation candidate trick of Manku et al. WWW 2007; winnowing per
 Schleimer et al. 2003).
 
-Ray-Data shape (all three follow the same skeleton):
-    map_batches(signatures)            # vectorized numpy, row-local
-      -> flat emit of (bucket, doc_id) rows
-      -> groupby(bucket).map_groups(pairs within bucket)   # the shuffle
-      -> unique pairs (groupby pair key, keep one)
-Buckets bound the pairwise work; the all-to-all moves only (bucket_key,
-doc_id[, signature]) rows, never document text.
+Ray-Data shape (minhash and simhash share the skeleton):
+
+    map_batches(signature rows)          # vectorized, 1x sig bytes per doc
+      -> materialize()                   # tiny reduced table (see scale note)
+      -> map_batches(slim band rows -> partial bucket counts)  # no sigs,
+      -> driver: hot buckets = {2 <= count <= MAX_BUCKET_WIDTH}, ray.put
+      -> map_batches(sig table -> (bucket, doc_id, sig) for hot buckets)
+      -> groupby(bucket).map_groups(vectorized pairwise)   # few real groups
+      -> groupby(pair).aggregate          # a pair can surface from 2+ bands
+
+Two things this buys at 100 TB: candidate discovery moves 16-byte partial
+count rows instead of 16 copies of a 512-byte signature per doc, and the
+per-group python overhead of map_groups is paid only for buckets that
+actually hold >= 2 docs (overwhelmingly buckets are singletons — at bench
+scale the old shape ran 80k groups of 1 doing nothing but empty-frame
+churn).
+
+Scale notes: the signature table is ~0.5% of corpus bytes (520 B/doc); on
+a multi-node run persist it to Parquet instead of materialize() and read
+it for both passes. The hot-bucket set is a broadcast — fine while
+near-dup candidates are a small fraction of docs; for a dup-saturated
+corpus switch the broadcast to a hash semi-join of band rows against the
+filtered counts table.
 """
 
 from __future__ import annotations
 
-import hashlib
 import zlib
 from typing import List
 
 import numpy as np
 import pandas as pd
-import pyarrow as pa
+import ray
 import ray.data
 
 # --- shingling / minhash -----------------------------------------------------
@@ -52,7 +67,14 @@ def char_shingles(text: str, n: int = 5) -> np.ndarray:
     s = " ".join(text.split()).lower()
     if len(s) < n:
         s = s + " " * (n - len(s))
-    vals = {zlib.crc32(s[i:i + n].encode("utf-8")) for i in range(len(s) - n + 1)}
+    mv = memoryview(s.encode("utf-8"))
+    # n UTF-8 chars can span more bytes; shingle windows are taken over the
+    # normalized character string, encoded per window only when multi-byte
+    if len(mv) == len(s):  # pure-ASCII fast path: slice bytes, no re-encode
+        vals = {zlib.crc32(mv[i:i + n]) for i in range(len(s) - n + 1)}
+    else:
+        vals = {zlib.crc32(s[i:i + n].encode("utf-8"))
+                for i in range(len(s) - n + 1)}
     return np.fromiter(vals, dtype=np.uint64, count=len(vals))
 
 
@@ -73,67 +95,213 @@ def minhash_jaccard_est(sig_a: np.ndarray, sig_b: np.ndarray) -> float:
     return float(np.mean(sig_a == sig_b))
 
 
-def _minhash_bucket_rows(batch: pd.DataFrame) -> pd.DataFrame:
-    """doc -> LSH_BANDS rows of (bucket, doc_id, sig_hex)."""
-    out_bucket: List[str] = []
-    out_doc: List[int] = []
-    out_sig: List[str] = []
-    for doc_id, text in zip(batch["doc_id"], batch["text"].fillna("")):
-        sig = minhash_signature(text)
-        sig_hex = sig.tobytes().hex()
-        for band in range(LSH_BANDS):
-            rows = sig[band * LSH_ROWS:(band + 1) * LSH_ROWS]
-            key = hashlib.sha1(
-                band.to_bytes(2, "little") + rows.tobytes()).hexdigest()[:16]
-            out_bucket.append(key)
-            out_doc.append(int(doc_id))
-            out_sig.append(sig_hex)
-    return pd.DataFrame({"bucket": out_bucket, "doc_id": out_doc, "sig": out_sig})
-
-
 # buckets wider than this are skipped: a bucket holding hundreds of docs
 # carries no near-dup signal (its key is a degenerate/common pattern) and
 # its O(k^2) pair scan runs in ONE task — the classic LSH hot-bucket skew.
 # Standard practice is a width cap (cf. dense-bucket dropping in production
 # LSH dedup systems); at 100TB pair generation inside a bucket must be
-# bounded or a single degenerate key serializes the stage.
+# bounded or a single degenerate key serializes the stage. Enforced at the
+# hot-set stage, so over-wide buckets' rows are never even shipped.
 MAX_BUCKET_WIDTH = 200
 
 
+def _minhash_sig_rows(batch: pd.DataFrame) -> pd.DataFrame:
+    """doc -> one row (doc_id, sig: 512 raw bytes)."""
+    sigs = [minhash_signature(t).tobytes() for t in batch["text"].fillna("")]
+    return pd.DataFrame({"doc_id": batch["doc_id"].astype("int64").to_numpy(),
+                         "sig": sigs})
+
+
+def _sig_matrix(sig_col: List[bytes]) -> np.ndarray:
+    if not len(sig_col):
+        return np.empty((0, MINHASH_PERMS), dtype=np.uint64)
+    return np.frombuffer(b"".join(sig_col),
+                         dtype=np.uint64).reshape(-1, MINHASH_PERMS)
+
+
+def _band_buckets(mat: np.ndarray) -> np.ndarray:
+    """(n, PERMS) signature matrix -> (n, BANDS) int64 bucket keys.
+    FNV-style vectorized mix of the band index + the band's rows; equal
+    band-slices => equal key, collisions across distinct slices ~2^-63
+    (they only ever ADD a candidate, later filtered by the estimate).
+    Keys are truncated to 53 bits (emitted int64): Ray's groupby aggregate
+    round-trips key columns through float64 (measured: 719/720 64-bit hot
+    buckets silently rounded away), and 2^53 is the float64-exact integer
+    ceiling. 53-bit collisions still only ADD candidates."""
+    n = mat.shape[0]
+    out = np.empty((n, LSH_BANDS), dtype=np.int64)
+    fnv = np.uint64(0x100000001B3)
+    for band in range(LSH_BANDS):
+        h = np.full(n, 0xCBF29CE484222325, dtype=np.uint64)
+        h ^= np.uint64((band + 1) * 0x9E3779B97F4A7C15 & 0xFFFFFFFFFFFFFFFF)
+        rows = mat[:, band * LSH_ROWS:(band + 1) * LSH_ROWS]
+        for r in range(LSH_ROWS):
+            h = (h ^ rows[:, r]) * fnv
+        out[:, band] = (h >> np.uint64(11)).astype(np.int64)
+    return out
+
+
+def _minhash_band_rows_slim(batch: pd.DataFrame) -> pd.DataFrame:
+    """(doc_id, sig) -> LSH_BANDS slim rows (bucket, doc_id) — no sig."""
+    mat = _sig_matrix(batch["sig"].tolist())
+    bk = _band_buckets(mat)
+    return pd.DataFrame({
+        "bucket": bk.reshape(-1),
+        "doc_id": np.repeat(batch["doc_id"].to_numpy(), LSH_BANDS),
+    })
+
+
+def _hot_minhash_rows(batch: pd.DataFrame, hot_ref) -> pd.DataFrame:
+    """(doc_id, sig) -> (bucket, doc_id, sig) rows ONLY for buckets in the
+    broadcast hot set (sig bytes shipped once per hot band membership, not
+    16x per doc). ``hot_ref`` is a ray.put sorted int64 array — ray.get
+    inside the batch fn is a zero-copy read of the local object store, so
+    a plain task (no actor-pool spin-up cost) still never re-ships it."""
+    hot = ray.get(hot_ref)
+    mat = _sig_matrix(batch["sig"].tolist())
+    bk = _band_buckets(mat)
+    mask = np.isin(bk, hot)
+    di, bi = np.nonzero(mask)
+    sigs = batch["sig"].to_numpy()
+    return pd.DataFrame({
+        "bucket": bk[di, bi],
+        "doc_id": batch["doc_id"].to_numpy()[di],
+        "sig": [sigs[i] for i in di],
+    })
+
+
+_EMPTY_MINHASH_PAIRS = pd.DataFrame({
+    "doc_a": pd.Series([], dtype="int64"),
+    "doc_b": pd.Series([], dtype="int64"),
+    "jaccard_est": pd.Series([], dtype="float64"),
+})
+
+
 def _pairs_from_bucket(group: pd.DataFrame, threshold: float) -> pd.DataFrame:
-    if len(group) > MAX_BUCKET_WIDTH:
-        return pd.DataFrame({"doc_a": pd.Series([], dtype="int64"),
-                             "doc_b": pd.Series([], dtype="int64"),
-                             "jaccard_est": pd.Series([], dtype="float64")})
-    g = group.drop_duplicates("doc_id").sort_values("doc_id")
-    ids = g["doc_id"].to_numpy()
-    sigs = [np.frombuffer(bytes.fromhex(s), dtype=np.uint64) for s in g["sig"]]
-    a_out, b_out, est = [], [], []
-    for i in range(len(ids)):
-        for j in range(i + 1, len(ids)):
-            sim = minhash_jaccard_est(sigs[i], sigs[j])
-            if sim >= threshold:
-                a_out.append(int(ids[i]))
-                b_out.append(int(ids[j]))
-                est.append(round(sim, 6))
-    return pd.DataFrame({"doc_a": a_out, "doc_b": b_out, "jaccard_est": est})
+    """Vectorized all-pairs estimate within one (already hot-filtered,
+    width-capped) bucket. The shared empty frame keeps empty and non-empty
+    outputs dtype-identical (no float64/int64 schema-mismatch blocks)."""
+    g = group.drop_duplicates("doc_id")
+    if len(g) < 2 or len(g) > MAX_BUCKET_WIDTH:
+        return _EMPTY_MINHASH_PAIRS
+    g = g.sort_values("doc_id")
+    ids = g["doc_id"].to_numpy().astype("int64")
+    mat = _sig_matrix(g["sig"].tolist())
+    est = (mat[:, None, :] == mat[None, :, :]).mean(axis=2)
+    ai, bi = np.nonzero(np.triu(est, k=1) >= threshold)
+    if not len(ai):
+        return _EMPTY_MINHASH_PAIRS
+    return pd.DataFrame({"doc_a": ids[ai], "doc_b": ids[bi],
+                         "jaccard_est": np.round(est[ai, bi], 6)})
+
+
+def _bucket_count_partials(batch: pd.DataFrame) -> pd.DataFrame:
+    """Per-batch partial bucket counts (vectorized value_counts)."""
+    vc = batch["bucket"].value_counts()
+    return pd.DataFrame({"bucket": vc.index.to_numpy().astype("int64"),
+                         "n": vc.to_numpy().astype("int64")})
+
+
+def _hot_buckets(bands_slim: "ray.data.Dataset",
+                 max_width: int = MAX_BUCKET_WIDTH) -> set:
+    """Buckets with 2..max_width members, via per-batch partial counts
+    combined vectorized on the driver.
+
+    Why not groupby("bucket").aggregate(Count): Ray 2.49's sort-based
+    aggregate pays ~0.25 ms of per-group machinery, and band buckets are
+    nearly all singletons — 79k distinct keys measured 19.6 s vs <0.5 s
+    for this shape. Driver combine carries one row per distinct bucket per
+    batch; fine to ~1e8 distinct buckets per run. Beyond that, hash-
+    partition the band rows (DataContext.shuffle_strategy=HASH_SHUFFLE +
+    repartition on bucket) and run the same value_counts per partition —
+    same math, no driver bottleneck."""
+    parts = bands_slim.map_batches(_bucket_count_partials,
+                                   batch_format="pandas")
+    frames = [b for b in parts.iter_batches(batch_format="pandas",
+                                            batch_size=65536)]
+    if not frames:
+        return set()
+    tot = pd.concat(frames, ignore_index=True).groupby("bucket")["n"].sum()
+    sel = tot[(tot >= 2) & (tot <= max_width)]
+    return set(int(x) for x in sel.index.to_numpy())
+
+
+# hot buckets are grouped by a COARSE key (bucket mod this) for the pair
+# scan: Ray's map_groups costs ~0.3 ms of machinery per group, so grouping
+# 11k hot buckets directly burns seconds doing nothing; with a coarse key
+# the shuffle makes ~4k groups and the real per-bucket iteration happens
+# inside the task as a pandas groupby (exact same pairs — a coarse group
+# holds whole buckets). Sizing: per-task work is ~(hot_rows / COARSE)
+# rows; raise this on large clusters so one coarse group stays ~thousands
+# of rows.
+PAIR_COARSE_GROUPS = 4096
+
+
+def _with_coarse_key(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.copy()
+    df["_pkey"] = df["bucket"].to_numpy() % PAIR_COARSE_GROUPS
+    return df
+
+
+def _per_bucket_pairs(df: pd.DataFrame, bucket_fn, empty) -> pd.DataFrame:
+    outs = [bucket_fn(g) for _, g in df.groupby("bucket", sort=False)]
+    outs = [o for o in outs if len(o)]
+    return pd.concat(outs, ignore_index=True) if outs else empty
+
+
+def _combine_pairs(pairs: "ray.data.Dataset", value_col: str,
+                   take_min: bool, empty: pd.DataFrame) -> "ray.data.Dataset":
+    """Dedupe (doc_a, doc_b) pairs that surfaced from several bands/blocks:
+    per-batch vectorized partial reduction, then one vectorized driver
+    combine. groupby().aggregate() here would pay ~0.25 ms/group of
+    machinery on what are overwhelmingly singleton pair-groups (measured
+    6+ s on 26k pairs). Driver combine is fine while the surviving pair
+    set fits one machine (pairs are bounded by the capped buckets); for a
+    dup-saturated corpus hash-partition the pairs on (doc_a, doc_b) and
+    run the same partial reduction per partition."""
+    how = "min" if take_min else "max"
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return empty
+        return getattr(df.groupby(["doc_a", "doc_b"], as_index=False)
+                       [value_col], how)()
+
+    frames = list(pairs.map_batches(partial, batch_format="pandas")
+                  .iter_batches(batch_format="pandas", batch_size=65536))
+    if not frames:
+        return ray.data.from_pandas(empty)
+    out = getattr(pd.concat(frames, ignore_index=True)
+                  .groupby(["doc_a", "doc_b"], as_index=False)[value_col], how)()
+    return ray.data.from_pandas(out.sort_values(["doc_a", "doc_b"])
+                                .reset_index(drop=True))
 
 
 def minhash_lsh_pairs(docs: "ray.data.Dataset",
                       threshold: float = 0.8) -> "ray.data.Dataset":
     """documents -> unique candidate near-dup pairs (doc_a < doc_b) with
     minhash-estimated Jaccard >= threshold."""
-    from ray.data.aggregate import Max
+    import functools
 
-    buckets = docs.select_columns(["doc_id", "text"]).map_batches(
-        _minhash_bucket_rows, batch_format="pandas")
-    pairs = buckets.groupby("bucket").map_groups(
-        lambda g: _pairs_from_bucket(g, threshold), batch_format="pandas")
-    # a pair can surface from several bands -> dedupe on (doc_a, doc_b) with
-    # a vectorized aggregate (per-group map_groups on millions of 2-row
-    # groups is the measured slow path; see stages/dedup.py)
-    return pairs.groupby(["doc_a", "doc_b"]).aggregate(
-        Max("jaccard_est", alias_name="jaccard_est"))
+    sigs = docs.select_columns(["doc_id", "text"]).map_batches(
+        _minhash_sig_rows, batch_format="pandas").materialize()
+    bands = sigs.map_batches(_minhash_band_rows_slim, batch_format="pandas")
+    hot = _hot_buckets(bands)
+    if not hot:
+        return ray.data.from_pandas(_EMPTY_MINHASH_PAIRS)
+    hot_ref = ray.put(np.sort(np.fromiter(hot, dtype=np.int64, count=len(hot))))
+    cand = sigs.map_batches(
+        functools.partial(_hot_minhash_rows, hot_ref=hot_ref),
+        batch_format="pandas")
+    pairs = cand.map_batches(_with_coarse_key, batch_format="pandas") \
+        .groupby("_pkey").map_groups(
+            functools.partial(_per_bucket_pairs,
+                              bucket_fn=lambda g: _pairs_from_bucket(
+                                  g, threshold),
+                              empty=_EMPTY_MINHASH_PAIRS),
+            batch_format="pandas")
+    return _combine_pairs(pairs, "jaccard_est", take_min=False,
+                          empty=_EMPTY_MINHASH_PAIRS)
 
 
 # --- simhash -----------------------------------------------------------------
@@ -144,66 +312,117 @@ SIMHASH_MAX_HAMMING = 3
 
 
 def simhash64(text: str) -> int:
-    acc = np.zeros(SIMHASH_BITS, dtype=np.int64)
-    for tok in set(text.lower().split()):
-        h = int.from_bytes(
-            hashlib.blake2b(tok.encode("utf-8"), digest_size=8).digest(), "little")
-        bits = np.frombuffer(
-            np.uint64(h).tobytes(), dtype=np.uint8)
-        bitarr = np.unpackbits(bits, bitorder="little").astype(np.int64)
-        acc += bitarr * 2 - 1
-    sig = 0
-    for i in range(SIMHASH_BITS):
-        if acc[i] > 0:
-            sig |= 1 << i
-    return sig
+    """64-bit simhash over the doc's unique lowercased tokens; one
+    unpackbits + one column-sum instead of a per-token bit loop."""
+    import hashlib
+
+    toks = set(text.lower().split())
+    if not toks:
+        return 0
+    hs = np.fromiter(
+        (int.from_bytes(hashlib.blake2b(t.encode("utf-8"),
+                                        digest_size=8).digest(), "little")
+         for t in toks), dtype=np.uint64, count=len(toks))
+    bits = np.unpackbits(hs.view(np.uint8).reshape(-1, 8),
+                         axis=1, bitorder="little")
+    cnt = bits.sum(axis=0, dtype=np.int64)
+    # bit i set iff sum(2*b-1) > 0 <=> 2*cnt > n_tokens
+    sig_bits = (2 * cnt > len(toks)).astype(np.uint8)
+    return int(np.packbits(sig_bits, bitorder="little").view(np.uint64)[0])
 
 
 def hamming64(a: int, b: int) -> int:
     return bin(a ^ b).count("1")
 
 
-def _simhash_bucket_rows(batch: pd.DataFrame) -> pd.DataFrame:
-    rows = {"bucket": [], "doc_id": [], "sig": []}
-    for doc_id, text in zip(batch["doc_id"], batch["text"].fillna("")):
-        sig = simhash64(text)
-        for blk in range(SIMHASH_BLOCKS):
-            val = (sig >> (16 * blk)) & 0xFFFF
-            rows["bucket"].append(f"{blk}:{val:04x}")
-            rows["doc_id"].append(int(doc_id))
-            rows["sig"].append(np.uint64(sig))
-    return pd.DataFrame(rows)
+def _simhash_sig_rows(batch: pd.DataFrame) -> pd.DataFrame:
+    sigs = np.fromiter((simhash64(t) for t in batch["text"].fillna("")),
+                       dtype=np.uint64, count=len(batch))
+    return pd.DataFrame({"doc_id": batch["doc_id"].astype("int64").to_numpy(),
+                         "sig": sigs})
+
+
+def _simhash_buckets(sigs: np.ndarray) -> np.ndarray:
+    """(n,) uint64 -> (n, BLOCKS) int64 bucket keys blk*2^16 + block value."""
+    out = np.empty((len(sigs), SIMHASH_BLOCKS), dtype=np.int64)
+    for blk in range(SIMHASH_BLOCKS):
+        out[:, blk] = ((sigs >> np.uint64(16 * blk)) &
+                       np.uint64(0xFFFF)).astype(np.int64) + (blk << 16)
+    return out
+
+
+def _simhash_band_rows_slim(batch: pd.DataFrame) -> pd.DataFrame:
+    sigs = batch["sig"].to_numpy().astype(np.uint64)
+    bk = _simhash_buckets(sigs)
+    return pd.DataFrame({
+        "bucket": bk.reshape(-1),
+        "doc_id": np.repeat(batch["doc_id"].to_numpy(), SIMHASH_BLOCKS),
+    })
+
+
+def _hot_simhash_rows(batch: pd.DataFrame, hot_ref) -> pd.DataFrame:
+    """See _hot_minhash_rows for the broadcast idiom."""
+    hot = ray.get(hot_ref)
+    sigs = batch["sig"].to_numpy().astype(np.uint64)
+    bk = _simhash_buckets(sigs)
+    mask = np.isin(bk, hot)
+    di, bi = np.nonzero(mask)
+    return pd.DataFrame({
+        "bucket": bk[di, bi],
+        "doc_id": batch["doc_id"].to_numpy()[di],
+        "sig": sigs[di],
+    })
+
+
+_EMPTY_SIMHASH_PAIRS = pd.DataFrame({
+    "doc_a": pd.Series([], dtype="int64"),
+    "doc_b": pd.Series([], dtype="int64"),
+    "hamming": pd.Series([], dtype="int64"),
+})
 
 
 def _simhash_pairs(group: pd.DataFrame, max_hamming: int) -> pd.DataFrame:
-    if len(group) > MAX_BUCKET_WIDTH:
-        return pd.DataFrame({"doc_a": pd.Series([], dtype="int64"),
-                             "doc_b": pd.Series([], dtype="int64"),
-                             "hamming": pd.Series([], dtype="int64")})
-    g = group.drop_duplicates("doc_id").sort_values("doc_id")
-    ids = g["doc_id"].to_numpy()
-    sigs = g["sig"].to_numpy()
-    a_out, b_out, dist = [], [], []
-    for i in range(len(ids)):
-        for j in range(i + 1, len(ids)):
-            d = hamming64(int(sigs[i]), int(sigs[j]))
-            if d <= max_hamming:
-                a_out.append(int(ids[i]))
-                b_out.append(int(ids[j]))
-                dist.append(d)
-    return pd.DataFrame({"doc_a": a_out, "doc_b": b_out, "hamming": dist})
+    g = group.drop_duplicates("doc_id")
+    if len(g) < 2 or len(g) > MAX_BUCKET_WIDTH:
+        return _EMPTY_SIMHASH_PAIRS
+    g = g.sort_values("doc_id")
+    ids = g["doc_id"].to_numpy().astype("int64")
+    sigs = g["sig"].to_numpy().astype(np.uint64)
+    # vectorized pairwise hamming: bit matrix (k, 64), d = b(1-b)' + (1-b)b'
+    bits = np.unpackbits(sigs.view(np.uint8).reshape(-1, 8),
+                         axis=1, bitorder="little").astype(np.int64)
+    inv = 1 - bits
+    d = bits @ inv.T + inv @ bits.T
+    ai, bi = np.nonzero(np.triu(d <= max_hamming, k=1))
+    if not len(ai):
+        return _EMPTY_SIMHASH_PAIRS
+    return pd.DataFrame({"doc_a": ids[ai], "doc_b": ids[bi],
+                         "hamming": d[ai, bi].astype("int64")})
 
 
 def simhash_pairs(docs: "ray.data.Dataset",
                   max_hamming: int = SIMHASH_MAX_HAMMING) -> "ray.data.Dataset":
-    from ray.data.aggregate import Min
+    import functools
 
-    buckets = docs.select_columns(["doc_id", "text"]).map_batches(
-        _simhash_bucket_rows, batch_format="pandas")
-    pairs = buckets.groupby("bucket").map_groups(
-        lambda g: _simhash_pairs(g, max_hamming), batch_format="pandas")
-    return pairs.groupby(["doc_a", "doc_b"]).aggregate(
-        Min("hamming", alias_name="hamming"))
+    sigs = docs.select_columns(["doc_id", "text"]).map_batches(
+        _simhash_sig_rows, batch_format="pandas").materialize()
+    bands = sigs.map_batches(_simhash_band_rows_slim, batch_format="pandas")
+    hot = _hot_buckets(bands)
+    if not hot:
+        return ray.data.from_pandas(_EMPTY_SIMHASH_PAIRS)
+    hot_ref = ray.put(np.sort(np.fromiter(hot, dtype=np.int64, count=len(hot))))
+    cand = sigs.map_batches(
+        functools.partial(_hot_simhash_rows, hot_ref=hot_ref),
+        batch_format="pandas")
+    pairs = cand.map_batches(_with_coarse_key, batch_format="pandas") \
+        .groupby("_pkey").map_groups(
+            functools.partial(_per_bucket_pairs,
+                              bucket_fn=lambda g: _simhash_pairs(
+                                  g, max_hamming),
+                              empty=_EMPTY_SIMHASH_PAIRS),
+            batch_format="pandas")
+    return _combine_pairs(pairs, "hamming", take_min=True,
+                          empty=_EMPTY_SIMHASH_PAIRS)
 
 
 # --- exact n-gram jaccard ----------------------------------------------------
@@ -222,26 +441,59 @@ def jaccard(a: set, b: set) -> float:
     return len(a & b) / u if u else 0.0
 
 
-def _jaccard_group_pairs(group: pd.DataFrame, n: int, threshold: float) -> pd.DataFrame:
-    g = group.sort_values("doc_id")
-    ids = g["doc_id"].to_numpy()
-    grams = [word_ngrams(t, n) for t in g["text"].fillna("")]
+def _jaccard_tile_pairs(group: pd.DataFrame, n: int,
+                        threshold: float) -> pd.DataFrame:
+    """Pairwise Jaccard within one tile (see skewtools.tiled_pair_groups):
+    rows carry _side 0/1; same-side tiles pair i<j, cross tiles pair only
+    across sides. Exact — tiling partitions the pair space."""
     a_out, b_out, sim_out = [], [], []
-    for i in range(len(ids)):
-        for j in range(i + 1, len(ids)):
-            s = jaccard(grams[i], grams[j])
-            if s >= threshold:
-                a_out.append(int(ids[i]))
-                b_out.append(int(ids[j]))
-                sim_out.append(round(s, 6))
-    return pd.DataFrame({"doc_a": a_out, "doc_b": b_out, "jaccard": sim_out})
+    left = group[group["_side"] == 0]
+    right = group[group["_side"] == 1]
+    if len(right) == 0:   # diagonal tile
+        g = left.sort_values("doc_id")
+        ids = g["doc_id"].to_numpy()
+        grams = [word_ngrams(t, n) for t in g["text"].fillna("")]
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                s = jaccard(grams[i], grams[j])
+                if s >= threshold:
+                    a_out.append(int(ids[i]))
+                    b_out.append(int(ids[j]))
+                    sim_out.append(round(s, 6))
+    else:
+        lids = left["doc_id"].to_numpy()
+        rids = right["doc_id"].to_numpy()
+        lg = [word_ngrams(t, n) for t in left["text"].fillna("")]
+        rg = [word_ngrams(t, n) for t in right["text"].fillna("")]
+        for i in range(len(lids)):
+            for j in range(len(rids)):
+                s = jaccard(lg[i], rg[j])
+                if s >= threshold:
+                    a, b = int(lids[i]), int(rids[j])
+                    if a > b:
+                        a, b = b, a
+                    a_out.append(a)
+                    b_out.append(b)
+                    sim_out.append(round(s, 6))
+    return pd.DataFrame({
+        "doc_a": pd.Series(a_out, dtype="int64"),
+        "doc_b": pd.Series(b_out, dtype="int64"),
+        "jaccard": pd.Series(sim_out, dtype="float64"),
+    })
 
 
 def ngram_jaccard_pairs(docs: "ray.data.Dataset", *, block_col: str = "source",
-                        n: int = 3, threshold: float = 0.5) -> "ray.data.Dataset":
+                        n: int = 3, threshold: float = 0.5,
+                        max_width: int = MAX_BUCKET_WIDTH) -> "ray.data.Dataset":
     """Exact word-n-gram Jaccard >= threshold for pairs sharing a blocking
-    key (pairwise work bounded per block; at scale the blocking key comes
-    from LSH buckets rather than a metadata column)."""
-    return docs.select_columns([block_col, "doc_id", "text"]).groupby(
-        block_col).map_groups(
-        lambda g: _jaccard_group_pairs(g, n, threshold), batch_format="pandas")
+    key. Blocks wider than ``max_width`` are TILED (skewtools
+    .tiled_pair_groups): members split into ceil(k/w) sub-blocks, every
+    sub-block pair becomes its own group, so no single task ever runs more
+    than an O(w^2) scan — exact output, bounded skew."""
+    from ..stages.skewtools import tiled_pair_groups
+
+    slim = docs.select_columns([block_col, "doc_id", "text"])
+    return tiled_pair_groups(
+        slim, block_col=block_col, id_col="doc_id",
+        pair_fn=lambda g: _jaccard_tile_pairs(g, n, threshold),
+        max_width=max_width)

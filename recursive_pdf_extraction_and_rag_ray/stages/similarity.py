@@ -116,26 +116,56 @@ def lsh_ann(ds: "ray.data.Dataset", query: np.ndarray, k: int = 10, *,
     return knn_bruteforce(candidates, q, k, id_col=id_col, vec_col=vec_col)
 
 
-def _cosine_pairs_group(g: pd.DataFrame, threshold: float, id_col: str,
-                        vec_col: str) -> pd.DataFrame:
-    g = g.sort_values(id_col)
-    ids = g[id_col].to_numpy()
-    m = _normalize(_as_matrix(g[vec_col]))
-    sims = m @ m.T
-    ai, bi = np.where(np.triu(sims, k=1) >= threshold)
-    return pd.DataFrame({
-        "id_a": ids[ai].astype("int64"),
-        "id_b": ids[bi].astype("int64"),
-        "cos_sim": np.round(sims[ai, bi], 6),
-    })
+_EMPTY_COSINE_PAIRS = pd.DataFrame({
+    "id_a": pd.Series([], dtype="int64"),
+    "id_b": pd.Series([], dtype="int64"),
+    "cos_sim": pd.Series([], dtype="float64"),
+})
+
+
+def _cosine_tile_pairs(g: pd.DataFrame, threshold: float, id_col: str,
+                       vec_col: str) -> pd.DataFrame:
+    """Vectorized pairwise cosine within one tile (skewtools
+    .tiled_pair_groups contract: all-_side-0 => diagonal tile, i<j pairs;
+    mixed sides => cross pairs only). Exact — tiles partition the pair
+    space, so output matches the untiled per-block matmul."""
+    left = g[g["_side"] == 0].sort_values(id_col)
+    right = g[g["_side"] == 1].sort_values(id_col)
+    if len(right) == 0:
+        if len(left) < 2:
+            return _EMPTY_COSINE_PAIRS
+        ids = left[id_col].to_numpy().astype("int64")
+        m = _normalize(_as_matrix(left[vec_col]))
+        sims = m @ m.T
+        ai, bi = np.where(np.triu(sims, k=1) >= threshold)
+        return pd.DataFrame({"id_a": ids[ai], "id_b": ids[bi],
+                             "cos_sim": np.round(sims[ai, bi], 6)})
+    lids = left[id_col].to_numpy().astype("int64")
+    rids = right[id_col].to_numpy().astype("int64")
+    sims = _normalize(_as_matrix(left[vec_col])) @ \
+        _normalize(_as_matrix(right[vec_col])).T
+    ai, bi = np.where(sims >= threshold)
+    if not len(ai):
+        return _EMPTY_COSINE_PAIRS
+    a, b = lids[ai], rids[bi]
+    lo, hi = np.minimum(a, b), np.maximum(a, b)
+    return pd.DataFrame({"id_a": lo, "id_b": hi,
+                         "cos_sim": np.round(sims[ai, bi], 6)})
 
 
 def cosine_neardup_pairs(ds: "ray.data.Dataset", *, block_col: str = "label",
                          threshold: float = 0.95, id_col: str = "vec_id",
-                         vec_col: str = "embedding") -> "ray.data.Dataset":
+                         vec_col: str = "embedding",
+                         max_width: int = 200) -> "ray.data.Dataset":
     """Embedding near-dup pairs (cos >= threshold) within a blocking key.
-    At scale the block comes from LSH buckets; blocking bounds the O(n^2)."""
-    return ds.select_columns([block_col, id_col, vec_col]).groupby(
-        block_col).map_groups(
-        lambda g: _cosine_pairs_group(g, threshold, id_col, vec_col),
-        batch_format="pandas")
+    At scale the block comes from LSH buckets; blocking bounds the O(n^2),
+    and blocks wider than ``max_width`` are tiled into bounded sub-block
+    pair tasks (exact output — one hot label can no longer serialize the
+    stage in a single O(k^2) matmul)."""
+    from ..stages.skewtools import tiled_pair_groups
+
+    slim = ds.select_columns([block_col, id_col, vec_col])
+    return tiled_pair_groups(
+        slim, block_col=block_col, id_col=id_col,
+        pair_fn=lambda g: _cosine_tile_pairs(g, threshold, id_col, vec_col),
+        max_width=max_width)

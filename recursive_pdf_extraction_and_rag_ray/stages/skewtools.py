@@ -24,9 +24,12 @@ page-decomposable — so the explode is a no-op for them (seg 0 of 1).
 
 from __future__ import annotations
 
-from typing import List
+from typing import Callable, List
 
+import numpy as np
+import pandas as pd
 import pyarrow as pa
+import ray
 import ray.data
 
 from ..functions.extract_doc import extract_document
@@ -148,6 +151,81 @@ def _reassemble_group(group: pa.Table) -> pa.Table:
         "n_chars": pa.array([len(full)], pa.int64()),
         "lang": pa.array([lang], pa.string()),
     })
+
+
+# --- exact tiled all-pairs over a blocking key -------------------------------
+
+def _tile_sub_block(ids: np.ndarray, n_tiles: int) -> np.ndarray:
+    """Deterministic sub-block per id (Knuth multiplicative hash)."""
+    return ((ids.astype(np.uint64) * np.uint64(2654435761)) %
+            np.uint64(1 << 32)).astype(np.int64) % n_tiles
+
+
+def _explode_tiles(df: pd.DataFrame, n_tiles_ref, id_col: str,
+                   block_col: str) -> pd.DataFrame:
+    """Replicate each row into every tile its sub-block participates in.
+    A block of k members with w = max_width gets B = ceil(k/w) sub-blocks
+    and B*(B+1)/2 tiles; each row lands in B tiles (one per partner
+    sub-block), so the pair space is PARTITIONED exactly: pair (x, y) with
+    sub-blocks (bx, by) appears in tile (min, max) only. ``n_tiles_ref``
+    is a ray.put dict read zero-copy-ish per batch (never re-shipped)."""
+    n_tiles = ray.get(n_tiles_ref)
+    outs = []
+    for block, g in df.groupby(block_col, sort=False):
+        n = n_tiles.get(block, 1)
+        b = _tile_sub_block(g[id_col].to_numpy(), n)
+        for b2 in range(n):
+            part = g.copy()
+            part["_ti"] = np.minimum(b, b2)
+            part["_tj"] = np.maximum(b, b2)
+            part["_side"] = (b > b2).astype("int64")
+            outs.append(part)
+    if not outs:
+        out = df.copy()
+        out["_ti"] = pd.Series([], dtype="int64")
+        out["_tj"] = pd.Series([], dtype="int64")
+        out["_side"] = pd.Series([], dtype="int64")
+        return out
+    return pd.concat(outs, ignore_index=True)
+
+
+def tiled_pair_groups(ds: "ray.data.Dataset", *, block_col: str, id_col: str,
+                      pair_fn: Callable[[pd.DataFrame], pd.DataFrame],
+                      max_width: int = 200) -> "ray.data.Dataset":
+    """Exact all-pairs-within-block with bounded per-task work.
+
+    A hot blocking key (one dominant label/source) otherwise serializes the
+    stage in a single O(k^2) task. Here blocks wider than ``max_width`` are
+    tiled: a count pre-pass (vectorized aggregate, rows = distinct blocks)
+    sizes each block's tile grid, rows are replicated ~k/max_width times,
+    and each tile becomes its own group — so no task ever sees more than
+    2*max_width rows, while the emitted pair set is IDENTICAL to the
+    untiled computation. ``pair_fn`` receives a group whose ``_side``
+    column is 0/1: all-zero => diagonal tile (pair i<j); mixed => pair
+    across sides only.
+
+    Partitioning assumption: replication factor is ceil(k/max_width) per
+    row of a width-k block — a single block holding ~the whole corpus
+    would square the shuffled volume; cap corpus-scale blocking keys
+    upstream (LSH buckets already are)."""
+    from ray.data.aggregate import Count
+
+    # count pre-pass ships ONLY the key column, never the payload
+    counts = ds.select_columns([block_col]).groupby(block_col).aggregate(
+        Count(alias_name="n"))
+    n_tiles = {}
+    for b in counts.iter_batches(batch_format="pandas", batch_size=65536):
+        for block, k in zip(b[block_col], b["n"]):
+            n_tiles[block] = max(1, -(-int(k) // max_width))
+    import functools
+
+    ref = ray.put(n_tiles)
+    exploded = ds.map_batches(
+        functools.partial(_explode_tiles, n_tiles_ref=ref, id_col=id_col,
+                          block_col=block_col),
+        batch_format="pandas")
+    return exploded.groupby([block_col, "_ti", "_tj"]).map_groups(
+        pair_fn, batch_format="pandas")
 
 
 def extract_with_giant_split(pages: "ray.data.Dataset", *,
