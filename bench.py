@@ -37,8 +37,10 @@ NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 BENCH_QUERIES = [
     "agg_rollup", "broadcast_join_agg", "topk_orders", "events_by_user",
     "dedup_exact", "token_count", "lang_id", "fingerprint",
-    "knn_bruteforce", "cosine_neardup", "minhash_pairs", "simhash_pairs",
-    "chunk_documents",
+    "doc_type", "completeness",
+    "knn_bruteforce", "filtered_knn", "cosine_neardup",
+    "minhash_pairs", "simhash_pairs", "jaccard_pairs",
+    "chunk_documents", "chunk_documents_words",
 ]
 
 

@@ -67,6 +67,27 @@ def _parse_pages(payload: bytes) -> List[Tuple[int, int, List[Tuple[int, int, st
     return pages
 
 
+def layout_metadata(payload: bytes) -> Dict:
+    """Doc-level metadata from a layout payload — the analog of the
+    reference's fitz doc.metadata extraction (title/dates/page_count,
+    /root/reference/src/utils/metadata_extractor.py:135-145). The payload
+    carries no embedded dates, so the fields are: page count, page
+    dimensions, total positioned lines, and the title = first body line
+    after furniture removal."""
+    pages = _parse_pages(payload)
+    if not pages:
+        return {"page_count": 0, "title": "", "n_lines": 0,
+                "page_width": 0, "page_height": 0}
+    text, _ = extract_layout(payload)
+    return {
+        "page_count": len(pages),
+        "title": text.split("\n", 1)[0] if text else "",
+        "n_lines": sum(len(lines) for _, _, lines in pages),
+        "page_width": pages[0][0],
+        "page_height": pages[0][1],
+    }
+
+
 def extract_layout(payload: bytes) -> Tuple[str, List[Tuple[int, int, int]]]:
     """payload -> (text, spans); one span per page, offsets into text."""
     pages = _parse_pages(payload)

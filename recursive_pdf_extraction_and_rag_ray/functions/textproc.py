@@ -92,6 +92,54 @@ def chunk_text(text: str, min_chars: int = CHUNK_MIN_CHARS,
     return out
 
 
+# --- word-based alternative chunker (reference rag_py.py:182-200) ------------
+
+WORD_CHUNK_MAX_WORDS = 300
+WORD_CHUNK_OVERLAP_WORDS = 50
+WORD_CHUNK_MIN_WORDS = 20
+
+
+def chunk_text_words(text: str, max_words: int = WORD_CHUNK_MAX_WORDS,
+                     overlap_words: int = WORD_CHUNK_OVERLAP_WORDS,
+                     min_words: int = WORD_CHUNK_MIN_WORDS) -> List[str]:
+    """The reference's second chunking mode, reproduced exactly (reference
+    /root/reference/src/utils/course_outline/rag_py.py:182-200
+    intelligent_chunking): paragraph accumulation while <= max_words,
+    word-overlap prefix on spill, chunks under min_words dropped. Note the
+    reference quirks kept on purpose: the first paragraph enters through
+    the "fits" branch so the buffer starts "\\n\\n"+para (stripped only on
+    emit), and an oversized single paragraph is emitted whole."""
+    if not text.strip():
+        return []
+    cleaned = _PAGE_BREAK_RE.sub("\n\n", text.strip())
+    paragraphs = _PARA_SPLIT_RE.split(cleaned)
+    chunks: List[str] = []
+    current = ""
+    for para in paragraphs:
+        if not para.strip():
+            continue
+        if len(current.split()) + len(para.split()) <= max_words:
+            current += "\n\n" + para
+        elif current:
+            chunks.append(current.strip())
+            overlap = " ".join(current.split()[-overlap_words:])
+            current = overlap + "\n\n" + para
+        else:
+            current = para
+    if current:
+        chunks.append(current.strip())
+    return [c for c in chunks if len(c.split()) >= min_words]
+
+
+# --- log snapshot (reference log_utils.py:36-42) -----------------------------
+
+def log_snapshot(text: str, limit: int = 240) -> str:
+    """Collapse whitespace and truncate for one-line logging (reference
+    /root/reference/src/services/RAG/log_utils.py:36-42)."""
+    snap = " ".join((text or "").split())
+    return snap[:limit] + ("..." if len(snap) > limit else "")
+
+
 # --- hashing / ids -----------------------------------------------------------
 
 def sha1_text(s: str) -> str:

@@ -63,12 +63,16 @@ def _default_concurrency() -> int:
 
 
 def _pool(concurrency) -> tuple:
-    """Actor-pool sizing: autoscale (1, n) so read/write tasks are never
-    starved — a fixed pool of size == cluster CPUs deadlocks the pipeline
-    (actors hold every CPU, ReadParquet tasks can't schedule)."""
+    """Actor-pool sizing: autoscale (n//2, n) — a fixed pool of size ==
+    cluster CPUs deadlocks the pipeline (actors hold every CPU, ReadParquet
+    tasks can't schedule), but a floor of 1 makes the pool ramp from a
+    single actor and wastes the first seconds of every stage (measured
+    ~10% of extract wall at 16 CPUs). Half the target keeps reads/writes
+    schedulable while skipping most of the ramp."""
     if isinstance(concurrency, tuple):
         return concurrency
-    return (1, max(1, int(concurrency)))
+    n = max(1, int(concurrency))
+    return (max(1, n // 2), n)
 
 
 def list_shards(input_dir_or_paths) -> List[str]:
@@ -113,28 +117,45 @@ def _checksum_partials(batch: pa.Table) -> pa.Table:
 DEDUP_DIRNAME = "_dedup"
 
 
-def _dedup_partial_batch(batch: pa.Table) -> pa.Table:
-    """Per-batch dedup partial: (text_sha256, url_min, n) over non-empty
-    docs. Associative — partials combine across batches/shards/sessions."""
-    hashes = batch.column("text_sha256").to_pylist()
-    urls = batch.column("url").to_pylist()
-    methods = batch.column("method").to_pylist()
-    acc: Dict[str, List] = {}
-    for h, u, m in zip(hashes, urls, methods):
-        if m == "empty":
-            continue
-        e = acc.get(h)
-        if e is None:
-            acc[h] = [u, 1]
-        else:
-            if u < e[0]:
-                e[0] = u
-            e[1] += 1
-    return pa.table({
-        "text_sha256": pa.array(list(acc.keys()), pa.string()),
-        "url_min": pa.array([v[0] for v in acc.values()], pa.string()),
-        "n": pa.array([v[1] for v in acc.values()], pa.int64()),
+def _extract_commit_partials(df) -> "pa.Table":
+    """Per-batch commit partials for the extract stage, computed IN THE
+    TASKS so the driver never iterates document rows. Two row kinds in one
+    table (associative — combine across batches/shards/sessions):
+      kind='cs': per-shard checksum partial (n docs, wrapped sha1-url sum)
+      kind='dd': per-(shard, text_sha256) dedup partial (min url, count)
+    """
+    import hashlib
+    import struct
+
+    import numpy as np
+    import pandas as pd
+
+    ks = df["url"].map(lambda u: struct.unpack(
+        "<Q", hashlib.sha1(u.encode()).digest()[:8])[0]).to_numpy(
+        dtype=np.uint64)
+
+    def _wrap_sum(s):
+        return np.add.reduce(s.to_numpy(dtype=np.uint64))  # wraps mod 2^64
+
+    cs = df.assign(_k=ks).groupby("shard", as_index=False).agg(
+        n=("url", "size"), key_sum=("_k", _wrap_sum))
+    dd = df.loc[df["method"] != "empty"].groupby(
+        ["shard", "text_sha256"], as_index=False).agg(
+        url_min=("url", "min"), n=("url", "size"))
+    out = pd.DataFrame({
+        "shard": pd.concat([cs["shard"], dd["shard"]], ignore_index=True),
+        "h": pd.concat([pd.Series([""] * len(cs), dtype="object"),
+                        dd["text_sha256"]], ignore_index=True),
+        "url_min": pd.concat([pd.Series([""] * len(cs), dtype="object"),
+                              dd["url_min"]], ignore_index=True),
+        "n": pd.concat([cs["n"], dd["n"]], ignore_index=True).astype("int64"),
+        "key_sum": pd.concat(
+            [cs["key_sum"],
+             pd.Series(np.zeros(len(dd), dtype=np.uint64))],
+            ignore_index=True).astype("uint64"),
+        "kind": ["cs"] * len(cs) + ["dd"] * len(dd),
     })
+    return out
 
 
 def _write_dedup_partials(out_dir: str, shard: str, table: pa.Table) -> None:
@@ -231,44 +252,50 @@ def run_extract_stage(input_dir_or_paths, out_dir: str, *,
 
     # one read-back pass over the written shards (3 short columns) builds
     # BOTH the lineage checksums and the per-shard dedup-winner partials
-    # (so the rag stage never re-scans the corpus for global dedup)
-    import hashlib
-    import struct
+    # (so the rag stage never re-scans the corpus for global dedup). The
+    # per-row work (sha1, grouping) runs in map_batches tasks; the driver
+    # only combines associative partials — vectorized, never a python loop
+    # over document rows. Driver partial volume is ~1 dedup row per doc;
+    # fine to ~1e8 docs per run — beyond that, point the same partial
+    # stream at a hash-partitioned reduce (stages.dedup.compute_dup_winners
+    # shape) and write _dedup shards from the reduce tasks.
+    import numpy as np
 
     written = ray.data.read_parquet(
         _partition_files(docs_dir, pending_stems),
         columns=["url", "text_sha256", "method"], include_paths=True,
     ).map_batches(_attach_shard_from_path, batch_format="pyarrow")
-    cs: Dict[str, List[int]] = {}
-    dd: Dict[str, Dict[str, List]] = {}
-    for b in written.iter_batches(batch_format="pyarrow", batch_size=65536):
-        for s, u, h, m in zip(b.column("shard").to_pylist(),
-                              b.column("url").to_pylist(),
-                              b.column("text_sha256").to_pylist(),
-                              b.column("method").to_pylist()):
-            e = cs.setdefault(s, [0, 0])
-            e[0] += 1
-            e[1] = (e[1] + struct.unpack(
-                "<Q", hashlib.sha1(u.encode()).digest()[:8])[0]) \
-                & 0xFFFFFFFFFFFFFFFF
-            if m != "empty":
-                g = dd.setdefault(s, {}).get(h)
-                if g is None:
-                    dd.setdefault(s, {})[h] = [u, 1]
-                else:
-                    if u < g[0]:
-                        g[0] = u
-                    g[1] += 1
+    parts = written.map_batches(_extract_commit_partials,
+                                batch_format="pandas")
+    # driver combine runs on Arrow's multithreaded C++ hash aggregate —
+    # pandas object-key groupby on the same partials measured 7s vs <1s
+    tables = list(parts.iter_batches(batch_format="pyarrow",
+                                     batch_size=65536))
+    sums: Dict[str, dict] = {}
+    dd_by_shard: Dict[str, pa.Table] = {}
+    if tables:
+        allp = pa.concat_tables(tables)
+        cs = allp.filter(pc.equal(allp["kind"], "cs"))
+        for s in set(cs.column("shard").to_pylist()):
+            g = cs.filter(pc.equal(cs["shard"], s))
+            ks = np.add.reduce(
+                g.column("key_sum").to_numpy().astype(np.uint64))
+            sums[s] = {"n_rows": int(pc.sum(g.column("n")).as_py() or 0),
+                       "checksum": f"{int(ks):016x}"}
+        dd = allp.filter(pc.equal(allp["kind"], "dd")).group_by(
+            ["shard", "h"]).aggregate([("url_min", "min"), ("n", "sum")])
+        for s in set(dd.column("shard").to_pylist()):
+            dd_by_shard[s] = dd.filter(pc.equal(dd["shard"], s))
     for s in pending_stems:
-        part = dd.get(s, {})
+        g = dd_by_shard.get(s)
         _write_dedup_partials(out_dir, s, pa.table({
-            "text_sha256": pa.array(list(part.keys()), pa.string()),
-            "url_min": pa.array([v[0] for v in part.values()], pa.string()),
-            "n": pa.array([v[1] for v in part.values()], pa.int64()),
+            "text_sha256": g.column("h") if g is not None
+            else pa.array([], pa.string()),
+            "url_min": g.column("url_min_min") if g is not None
+            else pa.array([], pa.string()),
+            "n": pc.cast(g.column("n_sum"), pa.int64()) if g is not None
+            else pa.array([], pa.int64()),
         }))
-    sums = {s: {"n_rows": v[0], "checksum": f"{v[1]:016x}"}
-            for s, v in cs.items()}
-    for s in pending_stems:
         sums.setdefault(s, {"n_rows": 0, "checksum": "0" * 16})
     _commit(out_dir, STAGE_EXTRACT,
             {s: s for s in pending_stems}, sums)
@@ -358,17 +385,34 @@ def run_rag_stage(out_dir: str, *, concurrency: Optional[int] = None,
     return {"shards_total": len(all_shards), "shards_run": len(pending)}
 
 
-def run_index_stage(out_dir: str, concurrency: Optional[int] = None) -> str:
-    """chunks -> index shards partitioned by group_key (the index-build
-    groupby of SURVEY.md section 7.3; Chroma-collection analog).
+INDEX_BUCKETS = 32
 
-    Write tasks are coalesced to ~2x the CPU count before the hive write:
-    every write task emits one file per key it holds, so fewer tasks means
-    fewer tiny files, while keeping the write parallel. (A global
-    sort/hash-exchange would co-locate keys perfectly — one file per key —
-    but measured 2-4x slower than the write it feeds at this scale; on a
-    large cluster switch DataContext.shuffle_strategy=HASH_SHUFFLE and
-    repartition(keys=["group_key"]) instead.)"""
+
+def group_key_bucket(key: str, buckets: int = INDEX_BUCKETS) -> int:
+    """Stable bucket for an index group_key (fnv-1a over utf-8, mod)."""
+    h = 0xCBF29CE484222325
+    for b in key.encode("utf-8"):
+        h = ((h ^ b) * 0x100000001B3) & 0xFFFFFFFFFFFFFFFF
+    return h % buckets
+
+
+def run_index_stage(out_dir: str, concurrency: Optional[int] = None) -> str:
+    """chunks -> index shards partitioned by gk_bucket = hash(group_key)
+    mod INDEX_BUCKETS (the index-build groupby of SURVEY.md section 7.3;
+    Chroma-collection analog). ``group_key`` stays as a column, so a
+    keyed lookup prunes to one bucket directory then filters — standard
+    bucketed layout.
+
+    Why bucketed + capped write tasks: every hive write task emits one
+    file per distinct partition value it holds, so partitioning directly
+    on group_key cost tasks x 200 files (measured: a flat ~7 s of pure
+    file creation that did not shrink with CPUs — a scaling-bench floor).
+    tasks x 32 buckets bounds the fan-out independent of key
+    cardinality. A global hash-exchange (DataContext.shuffle_strategy=
+    HASH_SHUFFLE + repartition on the key) would co-locate keys perfectly
+    — one file per bucket — but its aggregator actors measured ~90 s of
+    overhead at this scale; it becomes the right layout on a multi-node
+    cluster."""
     chunks_dir = os.path.join(out_dir, "chunks")
     index_dir = os.path.join(out_dir, "index")
     if not os.path.isdir(chunks_dir):
@@ -376,21 +420,25 @@ def run_index_stage(out_dir: str, concurrency: Optional[int] = None) -> str:
     if os.path.isdir(index_dir):
         shutil.rmtree(index_dir)
     conc = concurrency or _default_concurrency()
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(t["is_duplicate"], False)).drop_columns(
+            ["is_duplicate"])
+        buckets = [group_key_bucket(k)
+                   for k in t.column("group_key").to_pylist()]
+        return t.append_column("gk_bucket", pa.array(buckets, pa.int32()))
+
     # covering index: id + metadata + vector only — chunk text stays in the
     # chunks table and is fetched by id (3x fewer bytes than carrying text).
     # override_num_blocks coalesces write tasks AT THE READ (streaming, no
-    # repartition barrier): file count = write_tasks x keys_per_task, and a
-    # repartition barrier measured 17s of pure materialization cost here.
+    # repartition barrier — a barrier measured 17s of materialization).
     ds = ray.data.read_parquet(
         chunks_dir,
         columns=["id", "url", "chunk_index", "host", "lang", "group_key",
                  "n_chars", "is_duplicate", "embedding", "embedding_type"],
-        override_num_blocks=2 * conc)
-    ds = ds.map_batches(
-        lambda t: t.filter(pc.equal(t["is_duplicate"], False)).drop_columns(
-            ["is_duplicate"]),
-        batch_format="pyarrow")
-    ds.write_parquet(index_dir, partition_cols=["group_key"],
+        override_num_blocks=min(16, 2 * conc))
+    ds = ds.map_batches(add_bucket, batch_format="pyarrow")
+    ds.write_parquet(index_dir, partition_cols=["gk_bucket"],
                      compression="zstd")
     return index_dir
 

@@ -390,6 +390,106 @@ FROM documents
 """
 
 
+def q_doc_type(sf_dir):
+    """First-match-wins doc-type classification (SURVEY M11; reference
+    metadata_extractor.py:78-87,203-209)."""
+    ds = _t(sf_dir, "documents", columns=["doc_id", "text"])
+    return ds.map_batches(textstats.doc_type_batch, batch_format="pandas")
+
+
+# CASE order == the engine's ordered pattern table (first match wins)
+SQL_DOC_TYPE = r"""
+SELECT doc_id, CASE
+  WHEN regexp_matches(lower(text), '\b(lecture|notes?)\b') THEN 'lecture'
+  WHEN regexp_matches(lower(text), '\b(assignment|homework|hw)\b') THEN 'assignment'
+  WHEN regexp_matches(lower(text), '\b(exam|test|quiz|midterm|final)\b') THEN 'exam'
+  WHEN regexp_matches(lower(text), '\b(textbook|book|manual)\b') THEN 'textbook'
+  WHEN regexp_matches(lower(text), '\b(syllabus|outline)\b') THEN 'syllabus'
+  WHEN regexp_matches(lower(text), '\b(lab|laboratory|practical)\b') THEN 'lab'
+  WHEN regexp_matches(lower(text), '\b(project|report)\b') THEN 'project'
+  WHEN regexp_matches(lower(text), '\bpq\b') THEN 'exam'
+  ELSE '' END AS doc_type
+FROM documents
+"""
+
+
+def q_completeness(sf_dir):
+    """Weighted presence completeness score 0-100 (SURVEY M13; reference
+    metadata_extractor.py:251-268)."""
+    ds = _t(sf_dir, "documents",
+            columns=["doc_id", "text", "lang", "source"])
+    return ds.map_batches(textstats.completeness_batch, batch_format="pandas")
+
+
+SQL_COMPLETENESS = r"""
+SELECT doc_id, CAST(floor((
+      (CASE WHEN length(text) > 0 THEN 1 ELSE 0 END)
+    + (CASE WHEN coalesce(lang, '') <> '' THEN 1 ELSE 0 END)
+    + (CASE WHEN coalesce(source, '') <> '' THEN 1 ELSE 0 END)
+    + (CASE WHEN dt <> '' THEN 1 ELSE 0 END)
+    + (CASE WHEN n_words >= 100 THEN 1 ELSE 0 END)
+    + (CASE WHEN en_hits >= 3 THEN 1 ELSE 0 END)
+  ) * 100.0 / 6 + 0.5) AS BIGINT) AS completeness_pct
+FROM (
+  SELECT doc_id, text, lang, source,
+         len(list_filter(regexp_split_to_array(text, '\s+'),
+                         x -> x <> '')) AS n_words,
+         (length(p) - length(replace(p, ' the ', ''))) // 5
+       + (length(p) - length(replace(p, ' and ', ''))) // 5
+       + (length(p) - length(replace(p, ' of ', ''))) // 4
+       + (length(p) - length(replace(p, ' to ', ''))) // 4
+       + (length(p) - length(replace(p, ' in ', ''))) // 4 AS en_hits,
+         CASE
+           WHEN regexp_matches(lower(text), '\b(lecture|notes?)\b') THEN 'lecture'
+           WHEN regexp_matches(lower(text), '\b(assignment|homework|hw)\b') THEN 'assignment'
+           WHEN regexp_matches(lower(text), '\b(exam|test|quiz|midterm|final)\b') THEN 'exam'
+           WHEN regexp_matches(lower(text), '\b(textbook|book|manual)\b') THEN 'textbook'
+           WHEN regexp_matches(lower(text), '\b(syllabus|outline)\b') THEN 'syllabus'
+           WHEN regexp_matches(lower(text), '\b(lab|laboratory|practical)\b') THEN 'lab'
+           WHEN regexp_matches(lower(text), '\b(project|report)\b') THEN 'project'
+           WHEN regexp_matches(lower(text), '\bpq\b') THEN 'exam'
+           ELSE '' END AS dt
+  FROM (SELECT doc_id, text, lang, source,
+               ' ' || text || ' ' AS p FROM documents)
+)
+"""
+
+
+FILTERED_KNN_LABEL = 3
+
+
+def q_filtered_knn(sf_dir):
+    """Composed metadata-filter + vector top-k with explicit tiebreak —
+    the reference's filtered retrieval (question_rag.py:130-194: Chroma
+    ``where={...}`` metadata filter, then accumulate-to-limit) as ONE
+    pipeline: filter pushes down BEFORE any similarity work, so the knn
+    only scores the surviving rows."""
+    q = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"),
+                      columns=["vec_id", "embedding"],
+                      filters=[("vec_id", "=", 0)])
+    qvec = np.asarray(q.column("embedding").to_pylist()[0], dtype=np.float64)
+    ds = _t(sf_dir, "embeddings", columns=["label", "vec_id", "embedding"])
+    filtered = ds.map_batches(
+        lambda t: t.filter(pc.and_(
+            pc.equal(t["label"], FILTERED_KNN_LABEL),
+            pc.not_equal(t["vec_id"], 0))),
+        batch_format="pyarrow").select_columns(["vec_id", "embedding"])
+    out = similarity.knn_bruteforce(filtered, qvec, k=5)
+    return out.to_pandas()[["vec_id", "cos_sim"]]
+
+
+SQL_FILTERED_KNN = f"""
+WITH q AS (SELECT embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id = 0)
+SELECT e.vec_id,
+       round(list_cosine_similarity(e.embedding::DOUBLE[], q.qe), 6) AS cos_sim
+FROM embeddings e, q
+WHERE e.label = {FILTERED_KNN_LABEL} AND e.vec_id <> 0
+ORDER BY round(list_cosine_similarity(e.embedding::DOUBLE[], q.qe), 6) DESC,
+         e.vec_id
+LIMIT 5
+"""
+
+
 def q_knn_bruteforce(sf_dir):
     """Exact cosine top-10 for the vec_id=0 query vector (SURVEY J4)."""
     q = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"),
@@ -448,13 +548,81 @@ def q_jaccard_pairs(sf_dir):
                                        threshold=0.2)
 
 
+# exact word-3-gram Jaccard is SQL-expressible with DuckDB list kernels;
+# the <3-token edge case mirrors word_ngrams (single joined gram)
+SQL_JACCARD_PAIRS = r"""
+WITH grams AS (
+  SELECT doc_id, source,
+         CASE WHEN len(t) = 0 THEN CAST([] AS VARCHAR[])
+              WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+              ELSE list_distinct(list_transform(
+                     generate_series(1, len(t) - 2),
+                     i -> array_to_string(t[i:i+2], ' '))) END AS g
+  FROM (SELECT doc_id, source,
+               list_filter(regexp_split_to_array(lower(text), '\s+'),
+                           x -> x <> '') AS t
+        FROM documents)
+)
+SELECT doc_a, doc_b, round(sim, 6) AS jaccard FROM (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         CASE WHEN len(a.g) = 0 AND len(b.g) = 0 THEN 1.0
+              WHEN len(list_distinct(a.g || b.g)) = 0 THEN 0.0
+              ELSE len(list_intersect(a.g, b.g)) * 1.0
+                   / len(list_distinct(a.g || b.g)) END AS sim
+  FROM grams a JOIN grams b
+    ON a.source = b.source AND a.doc_id < b.doc_id
+)
+WHERE sim >= 0.2
+"""
+
+
+def q_chunk_documents_words(sf_dir):
+    """Alternative word-based chunker (SURVEY M8, reference
+    rag_py.py:182-200) behind the same row-local flat-map shape as
+    chunk_documents."""
+    from ..functions.textproc import chunk_text_words
+
+    ds = _t(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def to_chunks(t: pa.Table) -> pa.Table:
+        ids, idxs, n_words, n_chars = [], [], [], []
+        for doc_id, text in zip(t["doc_id"].to_pylist(),
+                                t["text"].to_pylist()):
+            for k, ch in enumerate(chunk_text_words(text or "")):
+                ids.append(doc_id)
+                idxs.append(k)
+                n_words.append(len(ch.split()))
+                n_chars.append(len(ch))
+        return pa.table({
+            "doc_id": pa.array(ids, pa.int64()),
+            "chunk_index": pa.array(idxs, pa.int32()),
+            "n_words": pa.array(n_words, pa.int64()),
+            "n_chars": pa.array(n_chars, pa.int64()),
+        })
+
+    return ds.map_batches(to_chunks, batch_format="pyarrow")
+
+
+def q_doc_metadata(sf_dir):
+    """Doc metadata (SURVEY M10): title/page-count analog over the three
+    payload routes; rows-only (payload parsing is not SQL-expressible)."""
+    from ..stages.docmeta import doc_metadata_batch
+
+    ds = _t(sf_dir, "documents", columns=["doc_id", "text", "lang"])
+    pages = ds.map_batches(pages_from_documents_batch, batch_format="pyarrow")
+    return pages.map_batches(doc_metadata_batch, batch_format="pyarrow")
+
+
 def q_lsh_ann(sf_dir):
     q = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"),
                       columns=["vec_id", "embedding"],
                       filters=[("vec_id", "=", 0)])
     qvec = np.asarray(q.column("embedding").to_pylist()[0], dtype=np.float64)
     ds = _t(sf_dir, "embeddings", columns=["vec_id", "embedding"])
-    return similarity.lsh_ann(ds, qvec, k=10).to_pandas()[["vec_id", "cos_sim"]]
+    # multiprobe=2 probes 1+bits+C(bits,2) buckets — still ~1% of the
+    # space at 12 bits, recall 10/10 at sf0.01 vs 1/10 single-probe
+    return similarity.lsh_ann(ds, qvec, k=10,
+                              multiprobe=2).to_pandas()[["vec_id", "cos_sim"]]
 
 
 def q_chunk_documents(sf_dir):
@@ -491,6 +659,32 @@ def q_extract_pages(sf_dir):
     return docs.select_columns(["url", "method", "text_sha256", "n_chars"])
 
 
+def q_media_features(sf_dir):
+    """Multimodal plumbing as a driver-visible pipeline: a deterministic
+    binary media column synthesized from doc_ids, decoded by the
+    image-features actor pool (small batch_size — binary rows are wide).
+    The decode kernel is the documented deterministic stand-in (no PIL in
+    this environment); the Ray-side schema/actor/batch plumbing is real."""
+    from ..stages.multimodal import DecodeImageFeatures, make_fake_image
+
+    ds = _t(sf_dir, "documents", columns=["doc_id"])
+
+    def to_media(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_pylist()
+        return pa.table({
+            "media_id": pa.array(ids, pa.int64()),
+            "payload": pa.array(
+                [make_fake_image(i, 32 + (i % 7) * 8, 24 + (i % 5) * 8)
+                 for i in ids], pa.large_binary()),
+        })
+
+    media = ds.map_batches(to_media, batch_format="pyarrow")
+    out = media.map_batches(DecodeImageFeatures, batch_format="pyarrow",
+                            batch_size=32, concurrency=(1, 4))
+    return out.select_columns(["media_id", "width", "height",
+                               "mean_intensity"])
+
+
 def q_rolling_fingerprint(sf_dir):
     ds = _t(sf_dir, "documents", columns=["doc_id", "text"])
     return ds.map_batches(textstats.rolling_fingerprint_batch,
@@ -515,6 +709,9 @@ def queries() -> Dict[str, Callable]:
         "token_count": q_token_count,
         "lang_id": q_lang_id,
         "quality": q_quality,
+        "doc_type": q_doc_type,
+        "completeness": q_completeness,
+        "filtered_knn": q_filtered_knn,
         "knn_bruteforce": q_knn_bruteforce,
         "cosine_neardup": q_cosine_neardup,
         "minhash_pairs": q_minhash_pairs,
@@ -522,6 +719,9 @@ def queries() -> Dict[str, Callable]:
         "jaccard_pairs": q_jaccard_pairs,
         "lsh_ann": q_lsh_ann,
         "chunk_documents": q_chunk_documents,
+        "chunk_documents_words": q_chunk_documents_words,
+        "doc_metadata": q_doc_metadata,
+        "media_features": q_media_features,
         "extract_pages": q_extract_pages,
         "rolling_fingerprint": q_rolling_fingerprint,
     }
@@ -545,8 +745,14 @@ def oracle_sql() -> Dict[str, str]:
         "token_count": SQL_TOKEN_COUNT,
         "lang_id": SQL_LANG_ID,
         "quality": SQL_QUALITY,
+        "doc_type": SQL_DOC_TYPE,
+        "completeness": SQL_COMPLETENESS,
+        "filtered_knn": SQL_FILTERED_KNN,
         "knn_bruteforce": SQL_KNN_BRUTEFORCE,
         "cosine_neardup": SQL_COSINE_NEARDUP,
-        # minhash/simhash/jaccard/lsh_ann/chunk_documents/extract_pages/
-        # rolling_fingerprint: non-SQL-expressible -> rows-only checks
+        "jaccard_pairs": SQL_JACCARD_PAIRS,
+        # minhash/simhash/lsh_ann/chunk_documents[_words]/doc_metadata/
+        # extract_pages/rolling_fingerprint: non-SQL-expressible ->
+        # rows-only checks (goldens pinned in tests/test_neardup.py and
+        # tests/test_textproc.py instead)
     }

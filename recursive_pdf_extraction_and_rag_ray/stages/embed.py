@@ -79,11 +79,18 @@ class HttpEmbedder(HashEmbedder):
     def __init__(self, endpoint: Optional[str] = None, token: str = "",
                  dim: int = 1024, batch_cap: int = 96, tries: int = 5,
                  backoff: float = 1.5, max_sleep: float = 20.0,
-                 text_col: str = "text"):
+                 text_col: str = "text", key_manager=None,
+                 model: str = "embedding"):
         super().__init__(dim=dim, text_col=text_col,
                          embedding_type="http-embedder")
         self.endpoint = endpoint
         self.token = token
+        # optional per-actor keyed rate-limit/rotation state
+        # (state.keymanager.KeyManager — the reference's backpressure
+        # mechanism, api_key_manager.py:11-133); when set, each sub-batch
+        # draws an available key and records usage after success
+        self.key_manager = key_manager
+        self.model = model
         self.batch_cap = min(batch_cap, 100)  # reference hard cap: 100
         self.tries = tries
         self.backoff = backoff
@@ -105,15 +112,23 @@ class HttpEmbedder(HashEmbedder):
             sub = texts[start:start + self.batch_cap]
             delay = 1.0
             for attempt in range(self.tries):
+                token = self.token
+                if self.key_manager is not None:
+                    token = self.key_manager.get_key(self.model)
                 try:
                     resp = self._requests.post(
                         self.endpoint, json={"text": sub},
-                        headers={"Authorization": f"Bearer {self.token}"},
+                        headers={"Authorization": f"Bearer {token}"},
                         timeout=60)
                     if resp.status_code in (429,) or resp.status_code >= 500:
                         raise IOError(f"retryable status {resp.status_code}")
                     resp.raise_for_status()
                     out.extend(resp.json()["result"]["data"])
+                    if self.key_manager is not None:
+                        # tokens ~ len//4 (the reference's fallback counter)
+                        self.key_manager.update_usage(
+                            token, self.model,
+                            sum(max(1, len(t) // 4) for t in sub))
                     break
                 except Exception:
                     if attempt == self.tries - 1:

@@ -99,16 +99,30 @@ def lsh_bucket_of(vecs: np.ndarray, planes: np.ndarray) -> np.ndarray:
 def lsh_ann(ds: "ray.data.Dataset", query: np.ndarray, k: int = 10, *,
             id_col: str = "vec_id", vec_col: str = "embedding",
             bits: int = LSH_PLANES, seed: int = 42,
+            multiprobe: int = 1,
             dim: Optional[int] = None) -> "ray.data.Dataset":
     """Approximate top-k: filter to the query's hyperplane-LSH bucket, then
-    exact cosine within it. Deterministic given the seed."""
+    exact cosine within it. Deterministic given the seed.
+
+    ``multiprobe`` widens recall the standard way (multi-probe LSH, Lv et
+    al. VLDB 2007): probe every bucket within hamming distance
+    ``multiprobe`` of the query's bucket — each flipped bit is a
+    hyperplane the query sits near, so neighbors cross it often.
+    multiprobe=1 probes 1+bits buckets and still touches only
+    ~(1+bits)/2^bits of the data."""
     q = np.asarray(query, dtype=np.float64).reshape(1, -1)
     planes = _plane_matrix(dim or q.shape[1], bits, seed)
     q_bucket = int(lsh_bucket_of(q, planes)[0])
+    probe = {q_bucket}
+    frontier = {q_bucket}
+    for _ in range(max(0, multiprobe)):
+        frontier = {b ^ (1 << i) for b in frontier for i in range(bits)}
+        probe |= frontier
+    probe_arr = np.sort(np.fromiter(probe, dtype=np.int64, count=len(probe)))
 
     def _in_bucket(batch: pd.DataFrame) -> pd.DataFrame:
         m = _as_matrix(batch[vec_col])
-        keep = lsh_bucket_of(m, planes) == q_bucket
+        keep = np.isin(lsh_bucket_of(m, planes), probe_arr)
         return batch.loc[keep]
 
     candidates = ds.select_columns([id_col, vec_col]).map_batches(

@@ -103,16 +103,30 @@ def explode_giants_batch(batch: pa.Table,
 
 class ExtractSegments:
     """Actor-pool extraction over bounded segments (same per-row semantics
-    as stages.extract.ExtractPages, minus url-meta)."""
+    as stages.extract.ExtractPages, minus url-meta).
+
+    Multi-segment rows (always layout splits) are parsed UNGATED: the
+    ``eff >= 50`` accept threshold is a whole-document rule
+    (ocr_engine.py:229-234), so a sparse segment of a giant doc must still
+    contribute its text — the gate is applied once, to the reassembled
+    whole, in ``_reassemble_group``. Single-segment rows keep the full
+    ``extract_document`` routing (gate included), identical to
+    ExtractPages."""
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        from ..functions.layout import extract_layout
+
         out = {"url": [], "seg_index": [], "n_segs": [], "seg_text": [],
                "seg_method": [], "lang": []}
         for url, seg_index, n_segs, text, html, lang in zip(
                 batch["url"].to_pylist(), batch["seg_index"].to_pylist(),
                 batch["n_segs"].to_pylist(), batch["text"].to_pylist(),
                 batch["html"].to_pylist(), batch["lang"].to_pylist()):
-            tx, method, _ = extract_document(text or "", html or b"")
+            if n_segs > 1:
+                tx, _ = extract_layout(html or b"")
+                method = "parsed"
+            else:
+                tx, method, _ = extract_document(text or "", html or b"")
             out["url"].append(url)
             out["seg_index"].append(seg_index)
             out["n_segs"].append(n_segs)
@@ -135,12 +149,22 @@ def _reassemble_group(group: pa.Table) -> pa.Table:
     methods = group.column("seg_method").to_pylist()
     order = sorted(range(len(idx)), key=lambda i: idx[i])
     # multi-segment docs are layout parses: page texts join with "\n"
-    # (ocr_engine.py:258 analog); single segments pass through untouched
-    parts = [texts[i] for i in order if texts[i]]
+    # (ocr_engine.py:258 analog); single segments pass through untouched.
+    # The eff>=50 accept gate (a WHOLE-document rule) is applied here to
+    # the reassembled text, not per segment — a sparse segment still
+    # contributes its lines exactly as a whole-doc parse would include
+    # them.
+    # empty segment texts stay in the join: a whole-doc parse keeps empty
+    # page entries in its "\n" join, so dropping them would shift bytes
+    parts = [texts[i] for i in order]
     full = "\n".join(parts) if len(order) > 1 else (texts[order[0]] if order else "")
     method = methods[order[0]] if order else "empty"
     if len(order) > 1:
-        method = "parsed" if any(t for t in parts) else "empty"
+        from ..functions.textproc import MIN_EFFECTIVE_CHARS, effective_chars
+        if effective_chars(full) >= MIN_EFFECTIVE_CHARS:
+            method = "parsed"
+        else:
+            full, method = "", "empty"
     url = group.column("url").to_pylist()[0]
     lang = group.column("lang").to_pylist()[0]
     return pa.table({

@@ -32,7 +32,7 @@ GOLDEN = {
     "minhash_pairs": (28, "86a80f4e9f064245", ["doc_a", "doc_b", "jaccard_est"]),
     "simhash_pairs": (2075, "02a75552cad806ba", ["doc_a", "doc_b", "hamming"]),
     "jaccard_pairs": (2, "8ee0d932a2e30f4b", ["doc_a", "doc_b", "jaccard"]),
-    "lsh_ann": (1, "e2e45cb7a6d132a1", ["vec_id", "cos_sim"]),
+    "lsh_ann": (5, "1c4012ae582174a2", ["vec_id", "cos_sim"]),
 }
 
 

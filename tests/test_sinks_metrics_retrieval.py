@@ -69,11 +69,30 @@ def test_filter_index_by_metadata(built):
 
 
 def test_filter_index_partition_pruning(built):
-    keys = sorted(d.split("=", 1)[1] for d in os.listdir(f"{built}/index")
-                  if d.startswith("group_key="))
-    one = filter_index(f"{built}/index", group_keys=[keys[0]]).to_pandas()
+    # bucketed layout: dirs are gk_bucket=<n>; keys live as a column
+    dirs = [d for d in os.listdir(f"{built}/index")
+            if d.startswith("gk_bucket=")]
+    assert dirs, "index must be bucket-partitioned"
+    key = ray.data.read_parquet(f"{built}/index").take(1)[0]["group_key"]
+    one = filter_index(f"{built}/index", group_keys=[key]).to_pandas()
     assert len(one) > 0
-    assert (one["group_key"] == keys[0]).all()
+    assert (one["group_key"] == key).all()
+
+
+def test_filtered_query_index_composed(built):
+    from recursive_pdf_extraction_and_rag_ray.pipelines.retrieval import (
+        filtered_query_index,
+    )
+    top = filtered_query_index(f"{built}/index", "merge sort table scan",
+                               k=5, lang="en").to_pandas()
+    assert 0 < len(top) <= 5
+    # every hit must satisfy the metadata filter (join back by id)
+    ds = ray.data.read_parquet(f"{built}/index").to_pandas()
+    langs = ds.set_index("id").loc[top["id"], "lang"]
+    assert (langs == "en").all()
+    # composed result == filter-then-knn done by hand
+    sims = top["cos_sim"].to_numpy()
+    assert (np.diff(sims) <= 1e-12).all()
 
 
 def test_query_index_topk(built):

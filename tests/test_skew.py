@@ -50,6 +50,38 @@ def test_exploded_extraction_matches_whole_doc(pages_table):
         assert r["method"] == exp_method, r["url"]
 
 
+def test_sparse_segment_contributes_to_reassembly():
+    """ADVICE round 1: the eff>=50 accept gate is a WHOLE-document rule. A
+    giant doc's sparse segment (<50 effective chars on its own) must still
+    contribute its lines to the reassembled text, byte-identical to the
+    whole-doc parse."""
+    def mk(pages_lines):
+        out = ["%RPX-LAYOUT 1"]
+        for pno, lines in enumerate(pages_lines):
+            out.append("PAGE 612 792")
+            out.append("72 30 CONFIDENTIAL DRAFT")
+            for k, ln in enumerate(lines):
+                out.append(f"72 {100 + k * 16} {ln}")
+            out.append(f"280 770 - {pno + 1} -")
+        return "\n".join(out).encode()
+
+    rich = [f"alpha bravo charlie delta echo {i}" for i in range(20)]
+    payload = mk([rich] * 4 + [["tiny"], ["dot"]])
+    whole, method, _ = extract_document("", payload)
+    assert method == "parsed" and "tiny" in whole and "dot" in whole
+
+    table = pa.table({
+        "url": pa.array(["u"], pa.string()),
+        "text": pa.array([""], pa.string()),
+        "html": pa.array([payload], pa.large_binary()),
+        "lang": pa.array(["en"], pa.string()),
+    })
+    out = extract_with_giant_split(ray.data.from_arrow(table),
+                                   max_pages=2).to_pandas()
+    assert out.loc[0, "text_extracted"] == whole  # byte-identical
+    assert out.loc[0, "method"] == "parsed"
+
+
 def test_giants_actually_fan_out(pages_table):
     from recursive_pdf_extraction_and_rag_ray.stages.skewtools import (
         explode_giants_batch,
