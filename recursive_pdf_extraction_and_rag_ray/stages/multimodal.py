@@ -124,6 +124,67 @@ class ResizeImage:
         })
 
 
+AUD_MAGIC = b"RPXAUD1"
+
+
+def make_fake_audio(media_id: int, n_samples: int,
+                    sample_rate: int = 16000) -> bytes:
+    """Deterministic synthetic PCM payload (stands in for WAV/FLAC):
+    magic + sample_rate/n_samples u32 LE + int16 LE samples."""
+    header = AUD_MAGIC + struct.pack("<II", sample_rate, n_samples)
+    seed = hashlib.sha256(str(media_id).encode()).digest()
+    reps = -(-n_samples * 2 // len(seed))
+    body = (seed * reps)[:n_samples * 2]
+    return header + body
+
+
+class DecodeAudioFeatures:
+    """Actor-pool stage: audio payload -> (duration_s, rms, zero-crossing
+    rate). STUB decode: no librosa/soundfile in this environment — the
+    actor probes for soundfile in __init__ and otherwise decodes the
+    deterministic RPXAUD1 PCM payload; the feature math (numpy, real) and
+    the Ray plumbing are identical either way. Small batch_size — rows
+    are MBs of samples."""
+
+    def __init__(self) -> None:
+        try:
+            import soundfile  # noqa: F401
+            self._sf = soundfile
+        except ImportError:
+            self._sf = None
+
+    def _decode(self, payload: bytes) -> Tuple[int, np.ndarray]:
+        if payload.startswith(AUD_MAGIC):
+            off = len(AUD_MAGIC)
+            rate, n = struct.unpack("<II", payload[off:off + 8])
+            samples = np.frombuffer(payload[off + 8:off + 8 + 2 * n],
+                                    dtype="<i2").astype(np.float64) / 32768.0
+            return rate, samples
+        if self._sf is None:
+            raise NotImplementedError(
+                "real audio decoding needs soundfile; payload is not RPXAUD1")
+        import io
+        samples, rate = self._sf.read(io.BytesIO(payload))
+        return rate, np.asarray(samples, dtype=np.float64)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        durs: List[float] = []
+        rms: List[float] = []
+        zcr: List[float] = []
+        for payload in batch.column("payload").to_pylist():
+            rate, x = self._decode(payload or b"")
+            durs.append(round(len(x) / max(1, rate), 6))
+            rms.append(round(float(np.sqrt(np.mean(x * x))) if len(x) else 0.0, 6))
+            z = np.mean(np.abs(np.diff(np.signbit(x)))) if len(x) > 1 else 0.0
+            zcr.append(round(float(z), 6))
+        return pa.table({
+            "media_id": batch.column("media_id"),
+            "duration_s": pa.array(durs, pa.float64()),
+            "rms": pa.array(rms, pa.float64()),
+            "zero_crossing_rate": pa.array(zcr, pa.float64()),
+        })
+
+
 class SampleVideoFrames:
     """Actor-pool stage: video payload -> every k-th frame as an image row
     (flat-map layout). STUB: the synthetic 'video' is a concatenation of

@@ -5,9 +5,11 @@ import pyarrow as pa
 import ray.data
 
 from recursive_pdf_extraction_and_rag_ray.stages.multimodal import (
+    DecodeAudioFeatures,
     DecodeImageFeatures,
     ResizeImage,
     SampleVideoFrames,
+    make_fake_audio,
     make_fake_image,
     parse_fake_image,
 )
@@ -38,6 +40,21 @@ def test_decode_features_actor_pool():
         concurrency=(1, 2)).to_pandas()
     assert (out.sort_values("media_id")["mean_intensity"].to_numpy()
             == out2.sort_values("media_id")["mean_intensity"].to_numpy()).all()
+
+
+def test_decode_audio_features_actor_pool():
+    rows = [{"media_id": i, "kind": "audio",
+             "payload": make_fake_audio(i, 16000 * (1 + i)),
+             "meta": {"source": f"a{i}", "codec": "rpxaud1"}}
+            for i in range(4)]
+    ds = ray.data.from_arrow(pa.Table.from_pylist(rows))
+    out = ds.map_batches(DecodeAudioFeatures, batch_format="pyarrow",
+                         batch_size=2, concurrency=(1, 2)).to_pandas() \
+        .sort_values("media_id").reset_index(drop=True)
+    assert out["duration_s"].tolist() == [1.0, 2.0, 3.0, 4.0]
+    assert (out["rms"] > 0).all()
+    assert ((out["zero_crossing_rate"] >= 0)
+            & (out["zero_crossing_rate"] <= 1)).all()
 
 
 def test_resize_roundtrip():
