@@ -625,6 +625,26 @@ def q_lsh_ann(sf_dir):
                               multiprobe=2).to_pandas()[["vec_id", "cos_sim"]]
 
 
+def q_ivf_ann(sf_dir):
+    """IVF approximate nearest neighbors: spherical-kmeans cells + nprobe
+    search (the inverted-file scale path; rows-only, golden-pinned)."""
+    q = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"),
+                      columns=["vec_id", "embedding"],
+                      filters=[("vec_id", "=", 0)])
+    qvec = np.asarray(q.column("embedding").to_pylist()[0], dtype=np.float64)
+    ds = _t(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    out = similarity.ivf_ann(ds, qvec, k=10)
+    df = out.to_pandas()[["vec_id", "cos_sim"]]
+    return df[df["vec_id"] != 0].reset_index(drop=True)
+
+
+def q_cosine_neardup_lsh(sf_dir):
+    """Embedding near-dup blocked by hyperplane-LSH bucket instead of a
+    metadata label (the unlabeled-corpus path; rows-only)."""
+    ds = _t(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    return similarity.cosine_neardup_pairs_lsh(ds, threshold=0.3, bits=6)
+
+
 def q_chunk_documents(sf_dir):
     """Reference chunker over the documents table (chunk/merge/overlap/
     dedupe + exact id derivation)."""
@@ -718,6 +738,8 @@ def queries() -> Dict[str, Callable]:
         "simhash_pairs": q_simhash_pairs,
         "jaccard_pairs": q_jaccard_pairs,
         "lsh_ann": q_lsh_ann,
+        "ivf_ann": q_ivf_ann,
+        "cosine_neardup_lsh": q_cosine_neardup_lsh,
         "chunk_documents": q_chunk_documents,
         "chunk_documents_words": q_chunk_documents_words,
         "doc_metadata": q_doc_metadata,

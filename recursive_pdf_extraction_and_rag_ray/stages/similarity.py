@@ -130,6 +130,107 @@ def lsh_ann(ds: "ray.data.Dataset", query: np.ndarray, k: int = 10, *,
     return knn_bruteforce(candidates, q, k, id_col=id_col, vec_col=vec_col)
 
 
+IVF_CENTROIDS = 16
+IVF_NPROBE = 4
+IVF_TRAIN_SAMPLE = 2048
+
+
+def ivf_train_centroids(ds: "ray.data.Dataset", *,
+                        n_centroids: int = IVF_CENTROIDS,
+                        iters: int = 5, sample: int = IVF_TRAIN_SAMPLE,
+                        seed: int = 42, id_col: str = "vec_id",
+                        vec_col: str = "embedding") -> np.ndarray:
+    """Spherical k-means coarse quantizer trained on a bounded,
+    DETERMINISTIC sample (the rows with id < ``sample`` — stable across
+    runs and partitionings, unlike take() order). Training is driver-side
+    numpy on <= sample rows, the standard IVF recipe: the corpus never
+    reaches the driver, only the tiny sample does."""
+    import pyarrow.compute as pc
+
+    lim = ds.select_columns([id_col, vec_col]).map_batches(
+        lambda t: t.filter(pc.less(t[id_col], sample)),
+        batch_format="pyarrow").take_all()
+    # take_all block order varies with read parallelism; sorting by id
+    # makes the training set (and so the centroids) run-invariant
+    lim.sort(key=lambda r: r[id_col])
+    X = _normalize(np.asarray([np.asarray(r[vec_col], dtype=np.float64)
+                               for r in lim]))
+    rng = np.random.RandomState(seed)
+    cents = X[rng.choice(len(X), size=min(n_centroids, len(X)),
+                         replace=False)]
+    for _ in range(iters):
+        assign = np.argmax(X @ cents.T, axis=1)
+        for c in range(len(cents)):
+            members = X[assign == c]
+            if len(members):
+                cents[c] = members.mean(axis=0)
+        cents = _normalize(cents)
+    return cents
+
+
+def ivf_ann(ds: "ray.data.Dataset", query: np.ndarray, k: int = 10, *,
+            nprobe: int = IVF_NPROBE, n_centroids: int = IVF_CENTROIDS,
+            id_col: str = "vec_id", vec_col: str = "embedding",
+            seed: int = 42,
+            centroids: Optional[np.ndarray] = None) -> "ray.data.Dataset":
+    """IVF approximate top-k — the inverted-file scale path next to
+    ``lsh_ann``: assign rows to their nearest spherical-kmeans centroid
+    inside ``map_batches`` (centroid matrix broadcast once via ray.put,
+    read zero-copy per batch), keep only rows in the query's ``nprobe``
+    nearest cells, exact cosine among those. Touches ~nprobe/n_centroids
+    of the data; recall grows with nprobe."""
+    cents = centroids if centroids is not None else ivf_train_centroids(
+        ds, n_centroids=n_centroids, seed=seed, id_col=id_col,
+        vec_col=vec_col)
+    q = _normalize(np.asarray(query, dtype=np.float64).reshape(1, -1))
+    probe_set = np.sort(np.argsort(-(q @ cents.T)[0], kind="stable")[:nprobe])
+    cents_ref = ray.put(cents)
+
+    def _in_cells(batch: pd.DataFrame) -> pd.DataFrame:
+        c = ray.get(cents_ref)
+        m = _normalize(_as_matrix(batch[vec_col]))
+        assign = np.argmax(m @ c.T, axis=1)
+        return batch.loc[np.isin(assign, probe_set)]
+
+    candidates = ds.select_columns([id_col, vec_col]).map_batches(
+        _in_cells, batch_format="pandas")
+    return knn_bruteforce(candidates, q[0], k, id_col=id_col, vec_col=vec_col)
+
+
+def cosine_neardup_pairs_lsh(ds: "ray.data.Dataset", *,
+                             threshold: float = 0.95,
+                             id_col: str = "vec_id",
+                             vec_col: str = "embedding",
+                             bits: int = 8, seed: int = 42,
+                             max_width: int = 200,
+                             dim: Optional[int] = None) -> "ray.data.Dataset":
+    """Embedding near-dup for UNLABELED corpora: the blocking key is the
+    hyperplane-LSH bucket (computed row-locally) instead of a metadata
+    label — vectors with cosine >= threshold usually share the bucket at
+    small ``bits``. Same tiled exact pair scan within blocks.
+    Approximation note (documented trade): a pair split across buckets is
+    missed; lower ``bits`` or union over several plane seeds to raise
+    recall at quadratic-in-block-width cost."""
+    from ..stages.skewtools import tiled_pair_groups
+
+    def _bucketed(batch: pd.DataFrame) -> pd.DataFrame:
+        out = batch[[id_col, vec_col]].copy()
+        if not len(batch):
+            out["lsh_block"] = pd.Series([], dtype="int64")
+            return out
+        m = _as_matrix(batch[vec_col])
+        planes = _plane_matrix(dim or m.shape[1], bits, seed)
+        out["lsh_block"] = lsh_bucket_of(m, planes)
+        return out
+
+    blocked = ds.select_columns([id_col, vec_col]).map_batches(
+        _bucketed, batch_format="pandas")
+    return tiled_pair_groups(
+        blocked, block_col="lsh_block", id_col=id_col,
+        pair_fn=lambda g: _cosine_tile_pairs(g, threshold, id_col, vec_col),
+        max_width=max_width)
+
+
 _EMPTY_COSINE_PAIRS = pd.DataFrame({
     "id_a": pd.Series([], dtype="int64"),
     "id_b": pd.Series([], dtype="int64"),

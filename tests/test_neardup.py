@@ -33,6 +33,8 @@ GOLDEN = {
     "simhash_pairs": (2075, "02a75552cad806ba", ["doc_a", "doc_b", "hamming"]),
     "jaccard_pairs": (2, "8ee0d932a2e30f4b", ["doc_a", "doc_b", "jaccard"]),
     "lsh_ann": (5, "1c4012ae582174a2", ["vec_id", "cos_sim"]),
+    "ivf_ann": (9, "877f63c973f4e234", ["vec_id", "cos_sim"]),
+    "cosine_neardup_lsh": (49, "7a228134e46fddb4", ["id_a", "id_b", "cos_sim"]),
 }
 
 
@@ -101,3 +103,32 @@ def test_tiled_pairs_exact_under_hot_key(ray_session):
 
 def test_max_bucket_width_constant_sane():
     assert 50 <= MAX_BUCKET_WIDTH <= 1000
+
+
+def test_ivf_ann_recall_and_determinism(ray_session):
+    """IVF with nprobe=n_centroids must EQUAL brute force (probing every
+    cell is exact); default nprobe recalls most of the exact top-k."""
+    import pyarrow.parquet as pq
+
+    from recursive_pdf_extraction_and_rag_ray.stages.similarity import (
+        ivf_ann,
+        knn_bruteforce,
+    )
+    sf = SF_DIR
+    q = pq.read_table(f"{sf}/embeddings.parquet",
+                      columns=["vec_id", "embedding"],
+                      filters=[("vec_id", "=", 0)])
+    qvec = np.asarray(q.column("embedding").to_pylist()[0], dtype=np.float64)
+    mk = lambda: ray.data.read_parquet(f"{sf}/embeddings.parquet",
+                                       columns=["vec_id", "embedding"])
+    exact = knn_bruteforce(mk(), qvec, k=10, exclude_ids=[0]).to_pandas()
+    full = ivf_ann(mk(), qvec, k=11, nprobe=16, n_centroids=16).to_pandas()
+    full = full[full["vec_id"] != 0].head(10).reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        full[["vec_id", "cos_sim"]],
+        exact[["vec_id", "cos_sim"]].reset_index(drop=True))
+    approx = ivf_ann(mk(), qvec, k=10).to_pandas()
+    recall = len(set(approx["vec_id"]) & set(exact["vec_id"]))
+    assert recall >= 5  # default nprobe=4/16 keeps most of the top-10
+    approx2 = ivf_ann(mk(), qvec, k=10).to_pandas()
+    pd.testing.assert_frame_equal(approx, approx2)  # deterministic
