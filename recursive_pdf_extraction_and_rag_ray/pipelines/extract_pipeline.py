@@ -170,6 +170,8 @@ def _write_dedup_partials(out_dir: str, shard: str, table: pa.Table) -> None:
 def load_dup_winners(out_dir: str) -> Dict[str, str]:
     """Combine all shards' dedup partials -> {text_sha256: winner_url} for
     groups with total count > 1 (the only entries the broadcast needs).
+    The combine runs on Arrow's multithreaded hash aggregate, not a python
+    row loop; only the surviving dup-group winners become python objects.
 
     Scale note: the partial files are tiny relative to the corpus (one row
     per unique doc hash per shard, two short columns). Driver-side combine
@@ -180,22 +182,17 @@ def load_dup_winners(out_dir: str) -> Dict[str, str]:
     d = os.path.join(out_dir, DEDUP_DIRNAME)
     if not os.path.isdir(d):
         return {}
-    acc: Dict[str, List] = {}
-    for f in sorted(os.listdir(d)):
-        if not f.endswith(".parquet"):
-            continue
-        t = pq.read_table(os.path.join(d, f))
-        for h, u, n in zip(t.column("text_sha256").to_pylist(),
-                           t.column("url_min").to_pylist(),
-                           t.column("n").to_pylist()):
-            e = acc.get(h)
-            if e is None:
-                acc[h] = [u, n]
-            else:
-                if u < e[0]:
-                    e[0] = u
-                e[1] += n
-    return {h: v[0] for h, v in acc.items() if v[1] > 1}
+    tables = [pq.read_table(os.path.join(d, f))
+              for f in sorted(os.listdir(d)) if f.endswith(".parquet")]
+    tables = [t for t in tables if t.num_rows]
+    if not tables:
+        return {}
+    allp = pa.concat_tables(tables)
+    agg = allp.group_by(["text_sha256"]).aggregate(
+        [("url_min", "min"), ("n", "sum")])
+    dup = agg.filter(pc.greater(agg["n_sum"], 1))
+    return dict(zip(dup.column("text_sha256").to_pylist(),
+                    dup.column("url_min_min").to_pylist()))
 
 
 def _combine_checksums(ds: "ray.data.Dataset") -> Dict[str, dict]:

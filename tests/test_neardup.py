@@ -9,6 +9,7 @@ import hashlib
 import numpy as np
 import pandas as pd
 import pytest
+import ray
 import ray.data
 
 import __ray_entry__ as entrymod
@@ -103,6 +104,36 @@ def test_tiled_pairs_exact_under_hot_key(ray_session):
 
 def test_max_bucket_width_constant_sane():
     assert 50 <= MAX_BUCKET_WIDTH <= 1000
+
+
+@pytest.mark.parametrize("n,w", [(1, 50), (2, 50), (49, 50), (50, 50),
+                                 (51, 50), (250, 50), (400, 97)])
+def test_tiling_partitions_pair_space_exactly(n, w, ray_session):
+    """Every unordered pair of a block appears in EXACTLY one tile, on the
+    correct sides — the invariant that makes tiled pair scans exact."""
+    df = pd.DataFrame({"block": ["b"] * n,
+                       "doc_id": np.arange(n, dtype=np.int64)})
+    n_tiles = max(1, -(-n // w))
+    tiles = _explode_tiles(df, ray.put({"b": n_tiles}),
+                           id_col="doc_id", block_col="block")
+    seen = {}
+    for (_, ti, tj), g in tiles.groupby(["block", "_ti", "_tj"]):
+        left = g.loc[g["_side"] == 0, "doc_id"].to_numpy()
+        right = g.loc[g["_side"] == 1, "doc_id"].to_numpy()
+        if ti == tj:
+            assert len(right) == 0
+            for i in range(len(left)):
+                for j in range(i + 1, len(left)):
+                    p = (min(left[i], left[j]), max(left[i], left[j]))
+                    seen[p] = seen.get(p, 0) + 1
+        else:
+            assert len(left) and len(right)
+            for a in left:
+                for b in right:
+                    p = (min(a, b), max(a, b))
+                    seen[p] = seen.get(p, 0) + 1
+    assert all(v == 1 for v in seen.values())
+    assert len(seen) == n * (n - 1) // 2
 
 
 def test_ivf_ann_recall_and_determinism(ray_session):
