@@ -109,16 +109,27 @@ ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
 
 
 def q_topk_per_group(sf_dir):
-    """Per-group top-k via groupby().map_groups (SURVEY J4 per-collection
-    knn analog)."""
+    """Per-group top-k (SURVEY J4 per-collection knn analog), scale-safe
+    shape: per-BATCH partial top-2 per key (so a 5-value key never
+    becomes 5 corpus-sized single-task groups), then a tiny driver-side
+    final merge over <= 2 x keys x batches rows."""
     ds = _t(sf_dir, "orders", columns=["o_orderpriority", "o_orderkey",
                                        "o_totalprice"])
 
-    def top2(g: pd.DataFrame) -> pd.DataFrame:
+    def partial_top2(g: pd.DataFrame) -> pd.DataFrame:
         return g.sort_values(["o_totalprice", "o_orderkey"],
-                             ascending=[False, True]).head(2)
+                             ascending=[False, True]) \
+            .groupby("o_orderpriority", sort=False).head(2)
 
-    return ds.groupby("o_orderpriority").map_groups(top2, batch_format="pandas")
+    parts = ds.map_batches(partial_top2, batch_format="pandas")
+    final = pd.concat(
+        list(parts.iter_batches(batch_format="pandas", batch_size=65536)),
+        ignore_index=True)
+    return final.sort_values(["o_totalprice", "o_orderkey"],
+                             ascending=[False, True]) \
+        .groupby("o_orderpriority", sort=False).head(2) \
+        .reset_index(drop=True)[["o_orderpriority", "o_orderkey",
+                                 "o_totalprice"]]
 
 
 SQL_TOPK_PER_GROUP = """
@@ -200,17 +211,32 @@ GROUP BY o_orderpriority
 SESSION_GAP_MIN = 30
 
 
+SESSIONIZE_COARSE_GROUPS = 256
+
+
 def q_events_sessionize(sf_dir):
     """Windowed/streaming analog: per-user sessionization (gap > 30 min
-    starts a new session) via groupby(user_id).map_groups — an operator
-    family the reference lacks entirely (SURVEY.md 2.10)."""
+    starts a new session) — an operator family the reference lacks
+    entirely (SURVEY.md 2.10). Users are shuffled by a COARSE key
+    (hash(user) mod 256) and iterated inside the task with one vectorized
+    sort + groupby over the whole coarse group: Ray's map_groups pays
+    ~0.3 ms of machinery per group, so grouping millions of users
+    directly would burn it per user; 256 groups pays it 256 times."""
     ds = _t(sf_dir, "events", columns=["user_id", "event_id", "ts"])
 
+    def add_pkey(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["_pkey"] = (df["user_id"].to_numpy().astype("int64")
+                       * 2654435761 % (1 << 32)) % SESSIONIZE_COARSE_GROUPS
+        return df
+
     def sessions(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["ts", "event_id"])
+        g = g.sort_values(["user_id", "ts", "event_id"])
+        new_user = g["user_id"].ne(g["user_id"].shift())
         gap = g["ts"].diff() > pd.Timedelta(minutes=SESSION_GAP_MIN)
-        sid = gap.cumsum().astype("int64") + 1
-        out = g.assign(session_id=sid).groupby("session_id").agg(
+        sid = (new_user | gap).groupby(g["user_id"]).cumsum().astype("int64")
+        out = g.assign(session_id=sid).groupby(
+            ["user_id", "session_id"], sort=False).agg(
             n_events=("event_id", "size"),
             session_start_s=("ts", "min"),
             session_end_s=("ts", "max")).reset_index()
@@ -219,10 +245,11 @@ def q_events_sessionize(sf_dir):
         for c in ("session_start_s", "session_end_s"):
             out[c] = out[c].astype("datetime64[ns]").astype("int64") \
                 // 1_000_000_000
-        out.insert(0, "user_id", g["user_id"].iloc[0])
-        return out
+        return out[["user_id", "session_id", "n_events",
+                    "session_start_s", "session_end_s"]]
 
-    return ds.groupby("user_id").map_groups(sessions, batch_format="pandas")
+    return ds.map_batches(add_pkey, batch_format="pandas") \
+        .groupby("_pkey").map_groups(sessions, batch_format="pandas")
 
 
 SQL_EVENTS_SESSIONIZE = f"""
