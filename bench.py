@@ -39,7 +39,7 @@ BENCH_QUERIES = [
     "dedup_exact", "token_count", "lang_id", "fingerprint",
     "doc_type", "completeness",
     "knn_bruteforce", "filtered_knn", "cosine_neardup",
-    "minhash_pairs", "simhash_pairs", "jaccard_pairs",
+    "minhash_pairs", "simhash_pairs", "jaccard_pairs", "ivf_ann",
     "chunk_documents", "chunk_documents_words",
 ]
 

@@ -95,22 +95,27 @@ def _clean_partitions(table_dir: str, shards: Sequence[str]) -> None:
 
 def _checksum_partials(batch: pa.Table) -> pa.Table:
     """Per-batch partial: (shard, n_rows, key_sum). Combined driver-side —
-    tiny tables only cross to the driver."""
+    tiny tables only cross to the driver. sha1-per-key is inherent; the
+    grouping/summing is vectorized (uint64 sums wrap mod 2^64)."""
     import hashlib
     import struct
 
-    shards = batch.column("shard").to_pylist()
+    import numpy as np
+    import pandas as pd
+
     keys = batch.column("url").to_pylist()
-    acc: Dict[str, List[int]] = {}
-    for s, k in zip(shards, keys):
-        e = acc.setdefault(s, [0, 0])
-        e[0] += 1
-        e[1] = (e[1] + struct.unpack(
-            "<Q", hashlib.sha1(k.encode()).digest()[:8])[0]) & 0xFFFFFFFFFFFFFFFF
+    ks = np.fromiter(
+        (struct.unpack("<Q", hashlib.sha1(k.encode()).digest()[:8])[0]
+         for k in keys), dtype=np.uint64, count=len(keys))
+    df = pd.DataFrame({"shard": batch.column("shard").to_pylist(), "_k": ks})
+    agg = df.groupby("shard", as_index=False).agg(
+        n_rows=("_k", "size"),
+        key_sum=("_k", lambda s: np.add.reduce(s.to_numpy(dtype=np.uint64))))
     return pa.table({
-        "shard": pa.array(list(acc.keys()), pa.string()),
-        "n_rows": pa.array([v[0] for v in acc.values()], pa.int64()),
-        "key_sum": pa.array([v[1] for v in acc.values()], pa.uint64()),
+        "shard": pa.array(agg["shard"].tolist(), pa.string()),
+        "n_rows": pa.array(agg["n_rows"].astype("int64"), pa.int64()),
+        "key_sum": pa.array(agg["key_sum"].to_numpy().astype(np.uint64),
+                            pa.uint64()),
     })
 
 
