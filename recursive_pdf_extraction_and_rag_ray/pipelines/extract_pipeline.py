@@ -16,7 +16,7 @@ Ray-Data-first shape (vs the reference's per-file ProcessPoolExecutor loop,
       -> map_batches(HashEmbedder, concurrency=actors)    # stateful pool
       -> write_parquet(chunks/, partition_cols=["shard"]) # stage commit
     read_parquet(chunks/, covering columns, coalesced blocks)
-      -> write_parquet(index/, partition_cols=["group_key"])
+      -> write_parquet(index/, partition_cols=["gk_bucket"])  # hash(key)%32
 
 Resume: a shard with a ``completed`` lineage row for (stage,
 parser_version) is pruned from the read task list — its bytes are never

@@ -652,6 +652,14 @@ def q_lsh_ann(sf_dir):
                               multiprobe=2).to_pandas()[["vec_id", "cos_sim"]]
 
 
+def q_neardup_dedup(sf_dir):
+    """End-to-end fuzzy dedup: minhash pairs -> connected components ->
+    keep cluster-minimum doc_id (rows-only; the fuzzy analog of
+    dedup_exact's keep-first policy)."""
+    ds = _t(sf_dir, "documents", columns=["doc_id", "text"])
+    return neardup.neardup_dedup_keep_first(ds, threshold=0.5)
+
+
 def q_ivf_ann(sf_dir):
     """IVF approximate nearest neighbors: spherical-kmeans cells + nprobe
     search (the inverted-file scale path; rows-only, golden-pinned)."""
@@ -764,6 +772,7 @@ def queries() -> Dict[str, Callable]:
         "minhash_pairs": q_minhash_pairs,
         "simhash_pairs": q_simhash_pairs,
         "jaccard_pairs": q_jaccard_pairs,
+        "neardup_dedup": q_neardup_dedup,
         "lsh_ann": q_lsh_ann,
         "ivf_ann": q_ivf_ann,
         "cosine_neardup_lsh": q_cosine_neardup_lsh,

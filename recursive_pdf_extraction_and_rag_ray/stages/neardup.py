@@ -37,7 +37,7 @@ filtered counts table.
 from __future__ import annotations
 
 import zlib
-from typing import List
+from typing import Dict, List
 
 import numpy as np
 import pandas as pd
@@ -423,6 +423,57 @@ def simhash_pairs(docs: "ray.data.Dataset",
             batch_format="pandas")
     return _combine_pairs(pairs, "hamming", take_min=True,
                           empty=_EMPTY_SIMHASH_PAIRS)
+
+
+# --- near-dup dedup: pairs -> clusters -> keep-first -------------------------
+
+def cluster_pairs_keep_first(pairs: pd.DataFrame) -> Dict[int, int]:
+    """Union-find over near-dup pairs -> {loser_doc_id: winner_doc_id}
+    where the winner is the cluster's minimum id (keep-first, matching the
+    exact-dedup policy J1). Driver-side: the pair list is tiny relative
+    to the corpus (bounded by the capped LSH buckets). At dup-saturated
+    scale replace with iterative distributed label propagation (min-id
+    exchange along edges until fixpoint — same result)."""
+    parent: Dict[int, int] = {}
+
+    def find(x: int) -> int:
+        r = x
+        while parent.get(r, r) != r:
+            r = parent[r]
+        while parent.get(x, x) != x:
+            parent[x], x = r, parent[x]
+        return r
+
+    for a, b in zip(pairs["doc_a"].astype(int), pairs["doc_b"].astype(int)):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            lo, hi = (ra, rb) if ra < rb else (rb, ra)
+            parent[hi] = lo
+    return {x: find(x) for x in list(parent) if find(x) != x}
+
+
+def neardup_dedup_keep_first(docs: "ray.data.Dataset",
+                             threshold: float = 0.8) -> "ray.data.Dataset":
+    """End-to-end fuzzy dedup: MinHash+LSH candidate pairs -> connected
+    components -> drop every doc whose cluster has a smaller id. Returns
+    the surviving (doc_id) set as a Dataset. The loser set is broadcast
+    via ray.put and read zero-copy per batch; document text never moves
+    beyond the signature pass."""
+    import functools
+
+    pairs = minhash_lsh_pairs(docs, threshold).to_pandas()
+    losers = cluster_pairs_keep_first(pairs)
+    loser_arr = np.sort(np.fromiter(losers.keys(), dtype=np.int64,
+                                    count=len(losers)))
+    ref = ray.put(loser_arr)
+
+    def keep(batch: pd.DataFrame, loser_ref) -> pd.DataFrame:
+        drop = ray.get(loser_ref)
+        ids = batch["doc_id"].to_numpy().astype(np.int64)
+        return pd.DataFrame({"doc_id": ids[~np.isin(ids, drop)]})
+
+    return docs.select_columns(["doc_id"]).map_batches(
+        functools.partial(keep, loser_ref=ref), batch_format="pandas")
 
 
 # --- exact n-gram jaccard ----------------------------------------------------

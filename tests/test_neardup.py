@@ -136,6 +136,42 @@ def test_tiling_partitions_pair_space_exactly(n, w, ray_session):
     assert len(seen) == n * (n - 1) // 2
 
 
+def test_cluster_pairs_keep_first():
+    from recursive_pdf_extraction_and_rag_ray.stages.neardup import (
+        cluster_pairs_keep_first,
+    )
+    pairs = pd.DataFrame({"doc_a": [1, 2, 5, 10], "doc_b": [2, 3, 6, 1]})
+    losers = cluster_pairs_keep_first(pairs)
+    assert losers == {2: 1, 3: 1, 10: 1, 6: 5}
+    assert cluster_pairs_keep_first(pd.DataFrame({"doc_a": [], "doc_b": []})) == {}
+
+
+def test_neardup_dedup_drops_known_dups(ray_session):
+    """The documents table has exact duplicate texts (dedup_exact finds
+    them); fuzzy dedup at 0.5 must drop at least those losers and keep
+    every cluster minimum."""
+    from recursive_pdf_extraction_and_rag_ray.stages.neardup import (
+        minhash_lsh_pairs,
+        neardup_dedup_keep_first,
+    )
+    ds = lambda: ray.data.read_parquet(f"{SF_DIR}/documents.parquet",
+                                       columns=["doc_id", "text"])
+    from recursive_pdf_extraction_and_rag_ray.stages.neardup import (
+        cluster_pairs_keep_first,
+    )
+    kept = set(neardup_dedup_keep_first(ds(), threshold=0.5)
+               .to_pandas()["doc_id"])
+    pairs = minhash_lsh_pairs(ds(), 0.5).to_pandas()
+    losers = cluster_pairs_keep_first(pairs)
+    n_docs = ds().count()
+    assert len(pairs) > 0 and len(kept) == n_docs - len(losers)
+    # no near-dup pair survives whole; every cluster winner survives
+    for _, r in pairs.iterrows():
+        a, b = int(r["doc_a"]), int(r["doc_b"])
+        assert not (a in kept and b in kept)
+    assert all(w in kept for w in set(losers.values()))
+
+
 def test_ivf_ann_recall_and_determinism(ray_session):
     """IVF with nprobe=n_centroids must EQUAL brute force (probing every
     cell is exact); default nprobe recalls most of the exact top-k."""
