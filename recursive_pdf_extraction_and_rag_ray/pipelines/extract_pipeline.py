@@ -398,7 +398,8 @@ def group_key_bucket(key: str, buckets: int = INDEX_BUCKETS) -> int:
     return h % buckets
 
 
-def run_index_stage(out_dir: str, concurrency: Optional[int] = None) -> str:
+def run_index_stage(out_dir: str, concurrency: Optional[int] = None,
+                    num_blocks: Optional[int] = None) -> str:
     """chunks -> index shards partitioned by gk_bucket = hash(group_key)
     mod INDEX_BUCKETS (the index-build groupby of SURVEY.md section 7.3;
     Chroma-collection analog). ``group_key`` stays as a column, so a
@@ -434,11 +435,15 @@ def run_index_stage(out_dir: str, concurrency: Optional[int] = None) -> str:
     # chunks table and is fetched by id (3x fewer bytes than carrying text).
     # override_num_blocks coalesces write tasks AT THE READ (streaming, no
     # repartition barrier — a barrier measured 17s of materialization).
+    # block count scales WITH concurrency (a fixed cap of 16 pinned the
+    # stage to 16 tasks on any >8-CPU cluster); file fan-out stays bounded
+    # at num_blocks x INDEX_BUCKETS, so more tasks cost files linearly —
+    # override via ``num_blocks`` when the target filesystem prefers fewer
     ds = ray.data.read_parquet(
         chunks_dir,
         columns=["id", "url", "chunk_index", "host", "lang", "group_key",
                  "n_chars", "is_duplicate", "embedding", "embedding_type"],
-        override_num_blocks=min(16, 2 * conc))
+        override_num_blocks=num_blocks or max(16, conc))
     ds = ds.map_batches(add_bucket, batch_format="pyarrow")
     ds.write_parquet(index_dir, partition_cols=["gk_bucket"],
                      compression="zstd")

@@ -152,7 +152,11 @@ def q_broadcast_join_agg(sf_dir):
             self.seg = ray.get(ref)  # read once per actor, zero re-ship
 
         def __call__(self, t: pa.Table) -> pa.Table:
-            segs = [self.seg.get(k, "") for k in t["o_custkey"].to_pylist()]
+            # vectorized probe: Series.map runs the dict lookups in one
+            # pandas pass (a per-row Python loop here IS the stage at 1e9
+            # rows — the broadcast is init-once, the probe must be too)
+            segs = pd.Series(t["o_custkey"].to_numpy(zero_copy_only=False)) \
+                .map(self.seg).fillna("").to_numpy()
             cents = pc.cast(pc.round(pc.multiply(
                 t["o_totalprice"], pa.scalar(100.0))), pa.int64())
             return t.append_column("c_mktsegment", pa.array(segs, pa.string())) \
@@ -276,8 +280,19 @@ GROUP BY user_id, session_id
 
 
 def q_distinct_event_types(sf_dir):
-    """Set op: distinct values (SURVEY 2.8)."""
-    vals = _t(sf_dir, "events", columns=["event_type"]).unique("event_type")
+    """Set op: distinct values (SURVEY 2.8). Scale-safe shape: per-batch
+    vectorized ``unique`` partials (each task ships only its distinct
+    values), then a tiny driver merge over <= |distinct| x n_batches rows
+    — the driver never sees more than the distinct set per batch. Bounded
+    by the column's cardinality, not the row count (an enum here; for a
+    high-cardinality column route the partials through a hash-partitioned
+    groupby instead of the driver merge)."""
+    parts = _t(sf_dir, "events", columns=["event_type"]).map_batches(
+        lambda t: pa.table({"event_type": pc.unique(t["event_type"])}),
+        batch_format="pyarrow")
+    vals = set()
+    for b in parts.iter_batches(batch_format="pyarrow", batch_size=65536):
+        vals.update(b.column("event_type").to_pylist())
     return pa.table({"event_type": pa.array(sorted(vals), pa.string())})
 
 
@@ -668,7 +683,9 @@ def q_ivf_ann(sf_dir):
                       filters=[("vec_id", "=", 0)])
     qvec = np.asarray(q.column("embedding").to_pylist()[0], dtype=np.float64)
     ds = _t(sf_dir, "embeddings", columns=["vec_id", "embedding"])
-    out = similarity.ivf_ann(ds, qvec, k=10)
+    out = similarity.ivf_ann(
+        ds, qvec, k=10,
+        source_path=os.path.join(sf_dir, "embeddings.parquet"))
     df = out.to_pandas()[["vec_id", "cos_sim"]]
     return df[df["vec_id"] != 0].reset_index(drop=True)
 

@@ -94,10 +94,12 @@ class MarkDuplicatesFromBroadcast:
         self.winners = _ray.get(winners_ref)
 
     def __call__(self, t: pa.Table) -> pa.Table:
-        hashes = t.column("text_sha256").to_pylist()
-        urls = t.column("url").to_pylist()
-        dup = []
-        for h, u in zip(hashes, urls):
-            w = self.winners.get(h)
-            dup.append("" if (w is None or w == u) else w)
+        import pandas as pd
+
+        # vectorized probe (Series.map) — the broadcast is read once per
+        # actor, and the per-batch lookup must not be a per-row Python
+        # loop either (at 1e9 rows the loop IS the stage)
+        w = pd.Series(t.column("text_sha256").to_pylist()).map(self.winners)
+        u = pd.Series(t.column("url").to_pylist())
+        dup = w.where(w.notna() & (w != u), "").to_numpy()
         return t.append_column("duplicate_of", pa.array(dup, pa.string()))

@@ -112,10 +112,16 @@ class HttpEmbedder(HashEmbedder):
             sub = texts[start:start + self.batch_cap]
             delay = 1.0
             for attempt in range(self.tries):
-                token = self.token
-                if self.key_manager is not None:
-                    token = self.key_manager.get_key(self.model)
+                # key acquisition is INSIDE the retry loop: a transient
+                # minute-window exhaustion (AllKeysExhausted) backs off
+                # like a 429 instead of killing the whole batch task, and
+                # the rpm window is charged at SEND time so failed/retried
+                # requests still count against the provider's real limits
                 try:
+                    token = self.token
+                    if self.key_manager is not None:
+                        token = self.key_manager.get_key(self.model)
+                        self.key_manager.record_request(token, self.model)
                     resp = self._requests.post(
                         self.endpoint, json={"text": sub},
                         headers={"Authorization": f"Bearer {token}"},
@@ -126,7 +132,7 @@ class HttpEmbedder(HashEmbedder):
                     out.extend(resp.json()["result"]["data"])
                     if self.key_manager is not None:
                         # tokens ~ len//4 (the reference's fallback counter)
-                        self.key_manager.update_usage(
+                        self.key_manager.record_tokens(
                             token, self.model,
                             sum(max(1, len(t) // 4) for t in sub))
                     break

@@ -495,12 +495,15 @@ def jaccard(a: set, b: set) -> float:
 def _jaccard_tile_pairs(group: pd.DataFrame, n: int,
                         threshold: float) -> pd.DataFrame:
     """Pairwise Jaccard within one tile (see skewtools.tiled_pair_groups):
-    rows carry _side 0/1; same-side tiles pair i<j, cross tiles pair only
-    across sides. Exact — tiling partitions the pair space."""
+    rows carry _side 0/1; diagonal tiles (_ti == _tj) pair i<j, cross
+    tiles pair only across sides. Exact — tiling partitions the pair
+    space. The diagonal test uses the tile coordinates carried in every
+    group row, NOT len(right)==0: a cross tile whose side-1 sub-block
+    happens to be empty must emit nothing, not re-emit the diagonal."""
     a_out, b_out, sim_out = [], [], []
     left = group[group["_side"] == 0]
     right = group[group["_side"] == 1]
-    if len(right) == 0:   # diagonal tile
+    if len(group) and int(group["_ti"].iloc[0]) == int(group["_tj"].iloc[0]):
         g = left.sort_values("doc_id")
         ids = g["doc_id"].to_numpy()
         grams = [word_ngrams(t, n) for t in g["text"].fillna("")]

@@ -85,9 +85,19 @@ def knn_bruteforce(ds: "ray.data.Dataset", query: np.ndarray, k: int = 10,
                          descending=[False, True, False]).limit(k)
 
 
+import functools
+
+
+@functools.lru_cache(maxsize=32)
 def _plane_matrix(dim: int, bits: int = LSH_PLANES, seed: int = 42) -> np.ndarray:
+    """Seeded hyperplane matrix, computed ONCE per process per (dim, bits,
+    seed) — callers probe it from inside per-batch functions, and state
+    setup must not re-run per batch. Treat the returned array as
+    read-only (it is shared across calls)."""
     rng = np.random.RandomState(seed)
-    return rng.normal(size=(bits, dim))
+    planes = rng.normal(size=(bits, dim))
+    planes.setflags(write=False)
+    return planes
 
 
 def lsh_bucket_of(vecs: np.ndarray, planes: np.ndarray) -> np.ndarray:
@@ -139,20 +149,37 @@ def ivf_train_centroids(ds: "ray.data.Dataset", *,
                         n_centroids: int = IVF_CENTROIDS,
                         iters: int = 5, sample: int = IVF_TRAIN_SAMPLE,
                         seed: int = 42, id_col: str = "vec_id",
-                        vec_col: str = "embedding") -> np.ndarray:
+                        vec_col: str = "embedding",
+                        source_path: Optional[str] = None) -> np.ndarray:
     """Spherical k-means coarse quantizer trained on a bounded,
     DETERMINISTIC sample (the rows with id < ``sample`` — stable across
     runs and partitionings, unlike take() order). Training is driver-side
     numpy on <= sample rows, the standard IVF recipe: the corpus never
-    reaches the driver, only the tiny sample does."""
+    reaches the driver, only the tiny sample does.
+
+    When ``source_path`` points at the parquet source, the ``id < sample``
+    predicate is pushed into the read (row-group statistics skip ~all
+    groups), so training reads a handful of row groups instead of scanning
+    every embedding byte; the Dataset path is the fallback for non-parquet
+    inputs. Same rows either way => identical centroids."""
     import pyarrow.compute as pc
 
-    lim = ds.select_columns([id_col, vec_col]).map_batches(
-        lambda t: t.filter(pc.less(t[id_col], sample)),
-        batch_format="pyarrow").take_all()
+    if source_path is not None:
+        import pyarrow.parquet as pq
+        lim = pq.read_table(source_path, columns=[id_col, vec_col],
+                            filters=[(id_col, "<", sample)]).to_pylist()
+    else:
+        lim = ds.select_columns([id_col, vec_col]).map_batches(
+            lambda t: t.filter(pc.less(t[id_col], sample)),
+            batch_format="pyarrow").take_all()
     # take_all block order varies with read parallelism; sorting by id
     # makes the training set (and so the centroids) run-invariant
     lim.sort(key=lambda r: r[id_col])
+    if not lim:
+        raise ValueError(
+            f"ivf_train_centroids found no rows with {id_col} < {sample}; "
+            "the deterministic sampler assumes the id space starts near 0 "
+            "— pass a larger `sample` or remap ids")
     X = _normalize(np.asarray([np.asarray(r[vec_col], dtype=np.float64)
                                for r in lim]))
     rng = np.random.RandomState(seed)
@@ -171,8 +198,8 @@ def ivf_train_centroids(ds: "ray.data.Dataset", *,
 def ivf_ann(ds: "ray.data.Dataset", query: np.ndarray, k: int = 10, *,
             nprobe: int = IVF_NPROBE, n_centroids: int = IVF_CENTROIDS,
             id_col: str = "vec_id", vec_col: str = "embedding",
-            seed: int = 42,
-            centroids: Optional[np.ndarray] = None) -> "ray.data.Dataset":
+            seed: int = 42, centroids: Optional[np.ndarray] = None,
+            source_path: Optional[str] = None) -> "ray.data.Dataset":
     """IVF approximate top-k — the inverted-file scale path next to
     ``lsh_ann``: assign rows to their nearest spherical-kmeans centroid
     inside ``map_batches`` (centroid matrix broadcast once via ray.put,
@@ -181,7 +208,7 @@ def ivf_ann(ds: "ray.data.Dataset", query: np.ndarray, k: int = 10, *,
     of the data; recall grows with nprobe."""
     cents = centroids if centroids is not None else ivf_train_centroids(
         ds, n_centroids=n_centroids, seed=seed, id_col=id_col,
-        vec_col=vec_col)
+        vec_col=vec_col, source_path=source_path)
     q = _normalize(np.asarray(query, dtype=np.float64).reshape(1, -1))
     probe_set = np.sort(np.argsort(-(q @ cents.T)[0], kind="stable")[:nprobe])
     cents_ref = ray.put(cents)
@@ -241,12 +268,15 @@ _EMPTY_COSINE_PAIRS = pd.DataFrame({
 def _cosine_tile_pairs(g: pd.DataFrame, threshold: float, id_col: str,
                        vec_col: str) -> pd.DataFrame:
     """Vectorized pairwise cosine within one tile (skewtools
-    .tiled_pair_groups contract: all-_side-0 => diagonal tile, i<j pairs;
-    mixed sides => cross pairs only). Exact — tiles partition the pair
-    space, so output matches the untiled per-block matmul."""
+    .tiled_pair_groups contract: _ti == _tj => diagonal tile, i<j pairs;
+    _ti < _tj => cross pairs only). Exact — tiles partition the pair
+    space, so output matches the untiled per-block matmul. Diagonal is
+    decided from the tile coordinates carried in every row, not from an
+    empty side-1 (a hash-imbalanced cross tile can legitimately have an
+    empty side and must emit nothing)."""
     left = g[g["_side"] == 0].sort_values(id_col)
     right = g[g["_side"] == 1].sort_values(id_col)
-    if len(right) == 0:
+    if len(g) and int(g["_ti"].iloc[0]) == int(g["_tj"].iloc[0]):
         if len(left) < 2:
             return _EMPTY_COSINE_PAIRS
         ids = left[id_col].to_numpy().astype("int64")
@@ -255,6 +285,8 @@ def _cosine_tile_pairs(g: pd.DataFrame, threshold: float, id_col: str,
         ai, bi = np.where(np.triu(sims, k=1) >= threshold)
         return pd.DataFrame({"id_a": ids[ai], "id_b": ids[bi],
                              "cos_sim": np.round(sims[ai, bi], 6)})
+    if len(left) == 0 or len(right) == 0:
+        return _EMPTY_COSINE_PAIRS
     lids = left[id_col].to_numpy().astype("int64")
     rids = right[id_col].to_numpy().astype("int64")
     sims = _normalize(_as_matrix(left[vec_col])) @ \

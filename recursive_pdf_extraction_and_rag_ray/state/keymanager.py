@@ -89,11 +89,23 @@ class KeyManager:
             if self.is_key_available(key, model):
                 return key
 
-    def update_usage(self, key: str, model: str, tokens: int) -> None:
+    def record_request(self, key: str, model: str) -> None:
+        """Count a request at SEND time (rpm window + daily counter) —
+        failed/retried requests still consume the provider's rate limit,
+        so recording only on success would under-throttle."""
         u = self._usage[key]
         u.rpd[model] = u.rpd.get(model, 0) + 1
-        u.tokens[model] = u.tokens.get(model, 0) + tokens
         u.rpm_ts.setdefault(model, []).append(self.clock())
+
+    def record_tokens(self, key: str, model: str, tokens: int) -> None:
+        """Add to the daily token budget (known only after success)."""
+        u = self._usage[key]
+        u.tokens[model] = u.tokens.get(model, 0) + tokens
+
+    def update_usage(self, key: str, model: str, tokens: int) -> None:
+        """One-shot request + tokens (send and success coincide)."""
+        self.record_request(key, model)
+        self.record_tokens(key, model, tokens)
 
     def reset_daily(self) -> None:
         """New-day reset (reference _load_cache date rollover)."""
