@@ -584,6 +584,63 @@ def q_simhash_pairs(sf_dir):
     return neardup.simhash_pairs(ds, max_hamming=3)
 
 
+# Self-contained DuckDB reproduction of the WHOLE simhash pipeline:
+# signature (md5-first-8-bytes token hash, majority bit), 4x16-bit block
+# buckets (bucket = blk*2^16 + blockval, exactly stages/neardup.py
+# _simhash_buckets), the 2..MAX_BUCKET_WIDTH hot-width cap, and the
+# hamming <= 3 pair filter. Because hamming <= 3 over 4 blocks guarantees
+# a shared block, a green hash-match here also PROVES candidate recall.
+SQL_SIMHASH_PAIRS = rf"""
+WITH toks AS (
+  SELECT doc_id, unnest(list_distinct(list_filter(
+           regexp_split_to_array(lower(text), '\s+'), x -> x <> ''))) AS t
+  FROM documents
+),
+sigp AS (
+  SELECT doc_id,
+         bit_or(CASE WHEN 2 * cnt > n
+                     THEN CAST(1 AS UBIGINT) << CAST(bit AS INTEGER)
+                     ELSE CAST(0 AS UBIGINT) END) AS sig
+  FROM (
+    SELECT doc_id, b.bit AS bit,
+           sum(CAST((CAST(concat('0x', substr(md5(t), 1, 16)) AS UBIGINT)
+                     >> CAST(b.bit AS INTEGER)) & 1 AS BIGINT)) AS cnt,
+           count(*) AS n
+    FROM toks, (SELECT unnest(generate_series(0, 63)) AS bit) b
+    GROUP BY doc_id, b.bit
+  )
+  GROUP BY doc_id
+),
+sigs AS (
+  SELECT d.doc_id, coalesce(s.sig, CAST(0 AS UBIGINT)) AS sig
+  FROM documents d LEFT JOIN sigp s USING (doc_id)
+),
+blocks AS (
+  SELECT doc_id,
+         CAST(b.blk * 65536
+              + CAST((sig >> CAST(16 * b.blk AS INTEGER)) & 65535 AS BIGINT)
+              AS BIGINT) AS bucket
+  FROM sigs, (SELECT unnest(generate_series(0, 3)) AS blk) b
+),
+hot AS (
+  SELECT bucket FROM blocks GROUP BY bucket
+  HAVING count(*) BETWEEN 2 AND {neardup.MAX_BUCKET_WIDTH}
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM blocks a
+  JOIN hot h ON a.bucket = h.bucket
+  JOIN blocks b ON a.bucket = b.bucket AND a.doc_id < b.doc_id
+)
+SELECT c.doc_a, c.doc_b,
+       CAST(bit_count(xor(sa.sig, sb.sig)) AS BIGINT) AS hamming
+FROM cand c
+JOIN sigs sa ON sa.doc_id = c.doc_a
+JOIN sigs sb ON sb.doc_id = c.doc_b
+WHERE bit_count(xor(sa.sig, sb.sig)) <= {neardup.SIMHASH_MAX_HAMMING}
+"""
+
+
 def q_jaccard_pairs(sf_dir):
     ds = _t(sf_dir, "documents", columns=["doc_id", "source", "text"])
     return neardup.ngram_jaccard_pairs(ds, block_col="source", n=3,
@@ -826,7 +883,8 @@ def oracle_sql() -> Dict[str, str]:
         "knn_bruteforce": SQL_KNN_BRUTEFORCE,
         "cosine_neardup": SQL_COSINE_NEARDUP,
         "jaccard_pairs": SQL_JACCARD_PAIRS,
-        # minhash/simhash/lsh_ann/chunk_documents[_words]/doc_metadata/
+        "simhash_pairs": SQL_SIMHASH_PAIRS,
+        # minhash/lsh_ann/chunk_documents[_words]/doc_metadata/
         # extract_pages/rolling_fingerprint: non-SQL-expressible ->
         # rows-only checks (goldens pinned in tests/test_neardup.py and
         # tests/test_textproc.py instead)

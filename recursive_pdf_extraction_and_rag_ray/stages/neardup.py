@@ -313,15 +313,20 @@ SIMHASH_MAX_HAMMING = 3
 
 def simhash64(text: str) -> int:
     """64-bit simhash over the doc's unique lowercased tokens; one
-    unpackbits + one column-sum instead of a per-token bit loop."""
+    unpackbits + one column-sum instead of a per-token bit loop.
+
+    Token hash = first 8 bytes of md5, big-endian: chosen so the DuckDB
+    oracle (SQL_SIMHASH_PAIRS in pipelines/queries.py) can recompute the
+    EXACT signature — ``CAST('0x' || substr(md5(t),1,16) AS UBIGINT)`` —
+    making the whole pipeline (signature -> block buckets -> width cap ->
+    hamming filter) independently checkable end-to-end."""
     import hashlib
 
     toks = set(text.lower().split())
     if not toks:
         return 0
     hs = np.fromiter(
-        (int.from_bytes(hashlib.blake2b(t.encode("utf-8"),
-                                        digest_size=8).digest(), "little")
+        (int.from_bytes(hashlib.md5(t.encode("utf-8")).digest()[:8], "big")
          for t in toks), dtype=np.uint64, count=len(toks))
     bits = np.unpackbits(hs.view(np.uint8).reshape(-1, 8),
                          axis=1, bitorder="little")

@@ -31,7 +31,10 @@ SF_DIR = "/root/testdata/sf0.001"
 
 GOLDEN = {
     "minhash_pairs": (28, "86a80f4e9f064245", ["doc_a", "doc_b", "jaccard_est"]),
-    "simhash_pairs": (2075, "02a75552cad806ba", ["doc_a", "doc_b", "hamming"]),
+    # regenerated 2026-08-17: token hash switched blake2b -> md5-big-endian
+    # so the DuckDB oracle (SQL_SIMHASH_PAIRS) can recompute signatures;
+    # simhash_pairs now ALSO has a full SQL oracle, the golden is belt+braces
+    "simhash_pairs": (1892, "995f39322b03ad35", ["doc_a", "doc_b", "hamming"]),
     "jaccard_pairs": (2, "8ee0d932a2e30f4b", ["doc_a", "doc_b", "jaccard"]),
     "lsh_ann": (5, "1c4012ae582174a2", ["vec_id", "cos_sim"]),
     "ivf_ann": (9, "877f63c973f4e234", ["vec_id", "cos_sim"]),
