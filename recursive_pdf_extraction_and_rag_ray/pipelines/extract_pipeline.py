@@ -180,9 +180,10 @@ def load_dup_winners(out_dir: str) -> Dict[str, str]:
 
     Scale note: the partial files are tiny relative to the corpus (one row
     per unique doc hash per shard, two short columns). Driver-side combine
-    is fine to ~1e8 docs per run; beyond that, feed the same partial files
-    through a distributed groupby (stages.dedup.compute_dup_winners shape)
-    and a hash join instead of a broadcast."""
+    is fine to ~1e8 docs per run; beyond that ``run_rag_stage`` switches
+    (dedup_mode='auto'/'join') to stages.dedup.winners_dataset_from_partials
+    + mark_duplicates_join — a distributed groupby over the same partials
+    and a hash join instead of this combine + broadcast."""
     import pyarrow.parquet as pq
     d = os.path.join(out_dir, DEDUP_DIRNAME)
     if not os.path.isdir(d):
@@ -229,11 +230,58 @@ def _commit(out_dir: str, stage: str, shard_paths: Dict[str, str],
     append_lineage(out_dir, rows)
 
 
+# above this many written doc rows (from parquet footers) the commit pass
+# combines per shard in tasks instead of on the driver
+EXTRACT_COMMIT_DRIVER_MAX_ROWS = 50_000_000
+
+
+def _commit_partials_distributed(parts: "ray.data.Dataset",
+                                 out_dir: str) -> Dict[str, dict]:
+    """DISTRIBUTED commit combine — the hash-partitioned reduce the driver
+    combine's comment promises: partial rows shuffle once on ``shard``,
+    each group's task combines its shard's checksum + dedup partials and
+    writes ``_dedup/<shard>.parquet`` ITSELF; the driver receives exactly
+    one summary row per shard (bounded by shard count, never by docs)."""
+    import numpy as np
+    import pandas as pd
+
+    def reduce_shard(df) -> pd.DataFrame:
+        shard = df["shard"].iloc[0]
+        cs = df[df["kind"] == "cs"]
+        dd = df[df["kind"] == "dd"].groupby("h", as_index=False).agg(
+            url_min=("url_min", "min"), n=("n", "sum"))
+        _write_dedup_partials(out_dir, shard, pa.table({
+            "text_sha256": pa.array(dd["h"], pa.string()),
+            "url_min": pa.array(dd["url_min"], pa.string()),
+            "n": pa.array(dd["n"].astype("int64"), pa.int64()),
+        }))
+        ks = np.add.reduce(cs["key_sum"].to_numpy(dtype=np.uint64)) \
+            if len(cs) else np.uint64(0)
+        return pd.DataFrame({
+            "shard": [shard],
+            "n_rows": [int(cs["n"].sum())],
+            "checksum": [f"{int(ks):016x}"],
+        })
+
+    summary = parts.groupby("shard").map_groups(
+        reduce_shard, batch_format="pandas").to_pandas()
+    return {r["shard"]: {"n_rows": int(r["n_rows"]),
+                         "checksum": r["checksum"]}
+            for _, r in summary.iterrows()}
+
+
 def run_extract_stage(input_dir_or_paths, out_dir: str, *,
                       concurrency: Optional[int] = None,
                       batch_size: int = 64,
-                      resume: bool = True) -> Dict[str, int]:
-    """pages shards -> out_dir/docs (partitioned by shard) + lineage."""
+                      resume: bool = True,
+                      commit_mode: str = "auto") -> Dict[str, int]:
+    """pages shards -> out_dir/docs (partitioned by shard) + lineage.
+
+    ``commit_mode``: 'driver' combines the commit partials with one Arrow
+    C++ hash aggregate on the driver (fastest, fine to ~5e7 doc rows per
+    run); 'distributed' shuffles the partials once on ``shard`` and each
+    task commits its own shard (no driver-sized state); 'auto' picks from
+    the written parquet footers."""
     shards = list_shards(input_dir_or_paths)
     docs_dir = os.path.join(out_dir, "docs")
     done = completed_shards(out_dir, STAGE_EXTRACT, PARSER_VERSION) if resume else set()
@@ -263,45 +311,66 @@ def run_extract_stage(input_dir_or_paths, out_dir: str, *,
     # shape) and write _dedup shards from the reduce tasks.
     import numpy as np
 
+    files = _partition_files(docs_dir, pending_stems)
     written = ray.data.read_parquet(
-        _partition_files(docs_dir, pending_stems),
-        columns=["url", "text_sha256", "method"], include_paths=True,
+        files, columns=["url", "text_sha256", "method"], include_paths=True,
     ).map_batches(_attach_shard_from_path, batch_format="pyarrow")
     parts = written.map_batches(_extract_commit_partials,
                                 batch_format="pandas")
-    # driver combine runs on Arrow's multithreaded C++ hash aggregate —
-    # pandas object-key groupby on the same partials measured 7s vs <1s
-    tables = list(parts.iter_batches(batch_format="pyarrow",
-                                     batch_size=65536))
-    sums: Dict[str, dict] = {}
-    dd_by_shard: Dict[str, pa.Table] = {}
-    if tables:
-        allp = pa.concat_tables(tables)
-        cs = allp.filter(pc.equal(allp["kind"], "cs"))
-        for s in set(cs.column("shard").to_pylist()):
-            g = cs.filter(pc.equal(cs["shard"], s))
-            ks = np.add.reduce(
-                g.column("key_sum").to_numpy().astype(np.uint64))
-            sums[s] = {"n_rows": int(pc.sum(g.column("n")).as_py() or 0),
-                       "checksum": f"{int(ks):016x}"}
-        dd = allp.filter(pc.equal(allp["kind"], "dd")).group_by(
-            ["shard", "h"]).aggregate([("url_min", "min"), ("n", "sum")])
-        for s in set(dd.column("shard").to_pylist()):
-            dd_by_shard[s] = dd.filter(pc.equal(dd["shard"], s))
+    use_dist = commit_mode == "distributed" or (
+        commit_mode == "auto"
+        and _parquet_total_rows(files) > EXTRACT_COMMIT_DRIVER_MAX_ROWS)
+    if use_dist:
+        sums = _commit_partials_distributed(parts, out_dir)
+    else:
+        # driver combine runs on Arrow's multithreaded C++ hash aggregate —
+        # pandas object-key groupby on the same partials measured 7s vs <1s
+        tables = list(parts.iter_batches(batch_format="pyarrow",
+                                         batch_size=65536))
+        sums = {}
+        dd_by_shard: Dict[str, pa.Table] = {}
+        if tables:
+            allp = pa.concat_tables(tables)
+            cs = allp.filter(pc.equal(allp["kind"], "cs"))
+            for s in set(cs.column("shard").to_pylist()):
+                g = cs.filter(pc.equal(cs["shard"], s))
+                ks = np.add.reduce(
+                    g.column("key_sum").to_numpy().astype(np.uint64))
+                sums[s] = {"n_rows": int(pc.sum(g.column("n")).as_py() or 0),
+                           "checksum": f"{int(ks):016x}"}
+            dd = allp.filter(pc.equal(allp["kind"], "dd")).group_by(
+                ["shard", "h"]).aggregate([("url_min", "min"), ("n", "sum")])
+            for s in set(dd.column("shard").to_pylist()):
+                dd_by_shard[s] = dd.filter(pc.equal(dd["shard"], s))
+        for s in pending_stems:
+            g = dd_by_shard.get(s)
+            _write_dedup_partials(out_dir, s, pa.table({
+                "text_sha256": g.column("h") if g is not None
+                else pa.array([], pa.string()),
+                "url_min": g.column("url_min_min") if g is not None
+                else pa.array([], pa.string()),
+                "n": pc.cast(g.column("n_sum"), pa.int64()) if g is not None
+                else pa.array([], pa.int64()),
+            }))
     for s in pending_stems:
-        g = dd_by_shard.get(s)
-        _write_dedup_partials(out_dir, s, pa.table({
-            "text_sha256": g.column("h") if g is not None
-            else pa.array([], pa.string()),
-            "url_min": g.column("url_min_min") if g is not None
-            else pa.array([], pa.string()),
-            "n": pc.cast(g.column("n_sum"), pa.int64()) if g is not None
-            else pa.array([], pa.int64()),
-        }))
+        if use_dist and s not in sums:
+            # shard produced zero rows: task-side commit never saw it —
+            # write its empty dedup partial here (idempotent)
+            _write_dedup_partials(out_dir, s, pa.table({
+                "text_sha256": pa.array([], pa.string()),
+                "url_min": pa.array([], pa.string()),
+                "n": pa.array([], pa.int64()),
+            }))
         sums.setdefault(s, {"n_rows": 0, "checksum": "0" * 16})
     _commit(out_dir, STAGE_EXTRACT,
             {s: s for s in pending_stems}, sums)
     return {"shards_total": len(shards), "shards_run": len(pending)}
+
+
+def _parquet_total_rows(files: Sequence[str]) -> int:
+    """Row count across parquet files from FOOTERS only (no data read)."""
+    import pyarrow.parquet as pq
+    return sum(pq.ParquetFile(f).metadata.num_rows for f in files)
 
 
 def _partition_files(table_dir: str, shards: Sequence[str]) -> List[str]:
@@ -323,15 +392,48 @@ def _non_empty(batch: pa.Table) -> pa.Table:
     return batch.filter(pc.not_equal(batch.column("method"), "empty"))
 
 
+# above this many dedup-partial rows (~one per unique doc per shard) the
+# winner map stops being broadcastable and the rag stage switches to the
+# distributed hash-join path automatically
+DEDUP_BROADCAST_MAX_ROWS = 20_000_000
+
+
+def _dedup_partial_rows(out_dir: str) -> int:
+    """Total rows across the _dedup partials, from parquet FOOTERS only —
+    the auto-gate reads no data to decide broadcast vs join."""
+    import pyarrow.parquet as pq
+    d = os.path.join(out_dir, DEDUP_DIRNAME)
+    if not os.path.isdir(d):
+        return 0
+    return sum(pq.ParquetFile(os.path.join(d, f)).metadata.num_rows
+               for f in os.listdir(d) if f.endswith(".parquet"))
+
+
 def run_rag_stage(out_dir: str, *, concurrency: Optional[int] = None,
                   embed_batch: int = 512, resume: bool = True,
-                  embedder_cls=HashEmbedder) -> Dict[str, int]:
+                  embedder_cls=HashEmbedder,
+                  dedup_mode: str = "auto") -> Dict[str, int]:
     """out_dir/docs -> dedup-mark -> chunk -> embed -> out_dir/chunks.
 
-    Dedup winners are computed over the FULL corpus with one vectorized
-    (url, text_sha256) hash aggregate; only the duplicate-group winner map
-    is broadcast. Chunk/embed then read ONLY the pending shards' files."""
-    from ..stages.dedup import MarkDuplicatesFromBroadcast, compute_dup_winners
+    Dedup winners are computed over the FULL corpus from the per-shard
+    partials the extract stage committed. ``dedup_mode``:
+      'broadcast' — combine partials on the driver (Arrow C++ hash agg),
+        ray.put the winner map, probe per batch. Fastest while the
+        DUPLICATE-group map fits one machine.
+      'join' — distributed groupby over the partials + left-outer hash
+        join of docs against the winner table (stages.dedup
+        .mark_duplicates_join). No driver-sized state; the dup-saturated
+        100x path. Identical output.
+      'auto' (default) — 'join' iff the partials exceed
+        DEDUP_BROADCAST_MAX_ROWS (decided from parquet footers only).
+    Chunk/embed then read ONLY the pending shards' files."""
+    from ..stages.dedup import (
+        MarkDuplicatesFromBroadcast,
+        compute_dup_winners,
+        mark_duplicates_join,
+        winners_dataset_from_docs,
+        winners_dataset_from_partials,
+    )
 
     docs_dir = os.path.join(out_dir, "docs")
     chunks_dir = os.path.join(out_dir, "chunks")
@@ -347,16 +449,9 @@ def run_rag_stage(out_dir: str, *, concurrency: Optional[int] = None,
     _clean_partitions(chunks_dir, pending)
 
     conc = concurrency or _default_concurrency()
-    # global dedup winners: combined from the per-shard partials the extract
-    # stage committed (no corpus re-scan; falls back to a full scan only if
-    # partials are missing, e.g. docs written by an older version)
-    winners = load_dup_winners(out_dir)
-    if not winners and not os.path.isdir(os.path.join(out_dir, DEDUP_DIRNAME)):
-        key_cols = ray.data.read_parquet(
-            docs_dir, columns=["url", "text_sha256", "method"])
-        winners = compute_dup_winners(
-            key_cols.map_batches(_non_empty, batch_format="pyarrow"))
-    winners_ref = ray.put(winners)
+    use_join = dedup_mode == "join" or (
+        dedup_mode == "auto"
+        and _dedup_partial_rows(out_dir) > DEDUP_BROADCAST_MAX_ROWS)
 
     # heavy columns: read only the pending shards' files
     docs = ray.data.read_parquet(
@@ -364,10 +459,40 @@ def run_rag_stage(out_dir: str, *, concurrency: Optional[int] = None,
         columns=["url", "text_extracted", "text_sha256", "method", "lang",
                  "host", "group_key"],
     ).map_batches(_attach_shard_from_path, batch_format="pyarrow")
-    todo = docs.map_batches(_non_empty, batch_format="pyarrow") \
-        .map_batches(MarkDuplicatesFromBroadcast, batch_format="pyarrow",
-                     fn_constructor_kwargs={"winners_ref": winners_ref},
-                     concurrency=_pool(conc))
+    nonempty = docs.map_batches(_non_empty, batch_format="pyarrow")
+
+    if use_join:
+        # distributed winner table + hash join — no driver-sized state
+        d = os.path.join(out_dir, DEDUP_DIRNAME)
+        part_files = sorted(
+            os.path.join(d, f) for f in os.listdir(d)
+            if f.endswith(".parquet")) if os.path.isdir(d) else []
+        if part_files:
+            winners_ds = winners_dataset_from_partials(part_files)
+        else:
+            winners_ds = winners_dataset_from_docs(
+                ray.data.read_parquet(
+                    docs_dir, columns=["url", "text_sha256", "method"]
+                ).map_batches(_non_empty, batch_format="pyarrow"))
+        todo = mark_duplicates_join(nonempty, winners_ds,
+                                    num_partitions=max(2, conc // 2))
+    else:
+        # global dedup winners: combined from the per-shard partials the
+        # extract stage committed (no corpus re-scan; falls back to a full
+        # scan only if partials are missing, e.g. docs written by an older
+        # version)
+        winners = load_dup_winners(out_dir)
+        if not winners and not os.path.isdir(
+                os.path.join(out_dir, DEDUP_DIRNAME)):
+            key_cols = ray.data.read_parquet(
+                docs_dir, columns=["url", "text_sha256", "method"])
+            winners = compute_dup_winners(
+                key_cols.map_batches(_non_empty, batch_format="pyarrow"))
+        winners_ref = ray.put(winners)
+        todo = nonempty.map_batches(
+            MarkDuplicatesFromBroadcast, batch_format="pyarrow",
+            fn_constructor_kwargs={"winners_ref": winners_ref},
+            concurrency=_pool(conc))
     chunks = todo.map_batches(chunk_docs_batch, batch_format="pyarrow")
     embedded = chunks.map_batches(
         embedder_cls, batch_format="pyarrow", batch_size=embed_batch,
@@ -452,11 +577,13 @@ def run_index_stage(out_dir: str, concurrency: Optional[int] = None,
 
 def run_pipeline(input_dir_or_paths, out_dir: str, *,
                  concurrency: Optional[int] = None,
-                 resume: bool = True, build_index: bool = True) -> Dict[str, int]:
+                 resume: bool = True, build_index: bool = True,
+                 dedup_mode: str = "auto") -> Dict[str, int]:
     stats = run_extract_stage(input_dir_or_paths, out_dir,
                               concurrency=concurrency, resume=resume)
     stats.update({f"rag_{k}": v for k, v in run_rag_stage(
-        out_dir, concurrency=concurrency, resume=resume).items()})
+        out_dir, concurrency=concurrency, resume=resume,
+        dedup_mode=dedup_mode).items()})
     if build_index:
         run_index_stage(out_dir, concurrency=concurrency)
     return stats

@@ -85,6 +85,59 @@ def compute_dup_winners(docs: "ray.data.Dataset") -> dict:
     return winners
 
 
+def winners_dataset_from_partials(partial_files,
+                                  ) -> "ray.data.Dataset":
+    """Per-shard ``_dedup`` partials -> distributed (text_sha256, winner)
+    table of DUPLICATE groups only, via a hash-partitioned groupby — the
+    scale path ``load_dup_winners``'s docstring names, now real: nothing
+    key-shaped ever lands on the driver, so there is no ~1e8-doc cap."""
+    from ray.data.aggregate import Min, Sum
+
+    parts = ray.data.read_parquet(partial_files)
+    agg = parts.groupby("text_sha256").aggregate(
+        Min("url_min", alias_name="winner"), Sum("n", alias_name="n_sum"))
+    return agg.map_batches(
+        lambda t: t.filter(pc.greater(t["n_sum"], 1))
+        .select(["text_sha256", "winner"]),
+        batch_format="pyarrow")
+
+
+def winners_dataset_from_docs(docs: "ray.data.Dataset") -> "ray.data.Dataset":
+    """Fallback when no partials exist: same winner table computed from the
+    docs key columns with one distributed (url, text_sha256) aggregate."""
+    from ray.data.aggregate import Count, Min
+
+    agg = docs.select_columns(["url", "text_sha256"]) \
+        .groupby("text_sha256") \
+        .aggregate(Min("url", alias_name="winner"), Count(alias_name="n_sum"))
+    return agg.map_batches(
+        lambda t: t.filter(pc.greater(t["n_sum"], 1))
+        .select(["text_sha256", "winner"]),
+        batch_format="pyarrow")
+
+
+def mark_duplicates_join(docs: "ray.data.Dataset",
+                         winners: "ray.data.Dataset",
+                         num_partitions: int) -> "ray.data.Dataset":
+    """Hash-join replacement for ``MarkDuplicatesFromBroadcast`` — the
+    dup-saturated-corpus path where the winner map is too big to ray.put:
+    left-outer join on the 16-byte key, then a vectorized Arrow kernel
+    derives ``duplicate_of`` ('' for non-dups and for the winning row
+    itself). Output rows/columns identical to the broadcast path."""
+    joined = docs.join(winners, join_type="left_outer",
+                       num_partitions=num_partitions, on=("text_sha256",))
+
+    def attach(t: pa.Table) -> pa.Table:
+        w = t.column("winner")
+        keep = pc.or_kleene(pc.is_null(w), pc.equal(w, t.column("url")))
+        dup = pc.if_else(pc.fill_null(keep, True),
+                         pa.scalar("", pa.string()), pc.cast(w, pa.string()))
+        return t.drop_columns(["winner"]).append_column(
+            "duplicate_of", pc.cast(dup, pa.string()))
+
+    return joined.map_batches(attach, batch_format="pyarrow")
+
+
 class MarkDuplicatesFromBroadcast:
     """map_batches actor: attach ``duplicate_of`` from the broadcast
     dup-winner map (read once per actor via ray.get, zero re-ship)."""

@@ -30,8 +30,11 @@ Scale notes: the signature table is ~0.5% of corpus bytes (520 B/doc); on
 a multi-node run persist it to Parquet instead of materialize() and read
 it for both passes. The hot-bucket set is a broadcast — fine while
 near-dup candidates are a small fraction of docs; for a dup-saturated
-corpus switch the broadcast to a hash semi-join of band rows against the
-filtered counts table.
+corpus pass ``distributed=True``, which swaps the driver combine + ray.put
+broadcast for a hash-partitioned reduce (``_hot_buckets_ds``) + semi-join
+(``_hot_candidates_semijoin``) and the pair dedup for a partitioned
+reduce — same pairs (tests force both paths and compare), no driver-sized
+state anywhere.
 """
 
 from __future__ import annotations
@@ -226,6 +229,67 @@ def _hot_buckets(bands_slim: "ray.data.Dataset",
     return set(int(x) for x in sel.index.to_numpy())
 
 
+# coarse hash-partition width for the DISTRIBUTED combines below. Few
+# enough groups that Ray's ~0.3 ms/group map_groups machinery is noise,
+# many enough that one partition's rows fit a task at any corpus size
+# (raise on large clusters so a partition stays ~millions of rows).
+REDUCE_PARTITIONS = 64
+
+
+def _hot_buckets_ds(bands_slim: "ray.data.Dataset",
+                    max_width: int = MAX_BUCKET_WIDTH) -> "ray.data.Dataset":
+    """DISTRIBUTED variant of ``_hot_buckets`` — the hash-partitioned
+    reduce its docstring promises: the same per-batch value_counts
+    partials, combined per hash partition (coarse key = bucket mod
+    REDUCE_PARTITIONS) inside tasks instead of on the driver. Returns a
+    Dataset of hot ``bucket`` rows for a semi-join; nothing bucket-shaped
+    ever lands on the driver, so there is no ~1e8-distinct-bucket cap."""
+    parts = bands_slim.map_batches(_bucket_count_partials,
+                                   batch_format="pandas")
+
+    def with_pk(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["_pk"] = df["bucket"].to_numpy() % REDUCE_PARTITIONS
+        return df
+
+    def reduce_partition(df: pd.DataFrame) -> pd.DataFrame:
+        tot = df.groupby("bucket", as_index=False)["n"].sum()
+        sel = tot[(tot["n"] >= 2) & (tot["n"] <= max_width)]
+        return pd.DataFrame({"bucket": sel["bucket"].astype("int64")})
+
+    return parts.map_batches(with_pk, batch_format="pandas") \
+        .groupby("_pk").map_groups(reduce_partition, batch_format="pandas")
+
+
+def _default_join_partitions() -> int:
+    """Hash-join partition count sized to the cluster: each partition is
+    backed by a shuffle aggregator actor, so dozens of partitions on a
+    small node just pay actor spin-up (measured: 2x32 partitions on 8
+    CPUs stalls for minutes; 2-4 partitions run in seconds). Scale with
+    CPUs, bounded by REDUCE_PARTITIONS."""
+    try:
+        cpus = int(ray.cluster_resources().get("CPU", 4))
+    except Exception:
+        cpus = 4
+    return max(2, min(REDUCE_PARTITIONS, cpus // 2))
+
+
+def _hot_candidates_semijoin(sigs: "ray.data.Dataset",
+                             bands: "ray.data.Dataset",
+                             hot_ds: "ray.data.Dataset",
+                             num_partitions: int) -> "ray.data.Dataset":
+    """DISTRIBUTED replacement for the ray.put hot-set broadcast: a hash
+    semi-join of slim band rows against the hot-bucket table, then a
+    doc_id join to attach each hot member's signature (shipped once per
+    hot membership, same volume as the broadcast path's candidate rows).
+    This is the dup-saturated-corpus shape the module docstring names —
+    no driver set, no single-object broadcast."""
+    members = bands.join(hot_ds, join_type="inner",
+                         num_partitions=num_partitions, on=("bucket",))
+    return members.join(sigs, join_type="inner",
+                        num_partitions=num_partitions, on=("doc_id",))
+
+
 # hot buckets are grouped by a COARSE key (bucket mod this) for the pair
 # scan: Ray's map_groups costs ~0.3 ms of machinery per group, so grouping
 # 11k hot buckets directly burns seconds doing nothing; with a coarse key
@@ -250,15 +314,22 @@ def _per_bucket_pairs(df: pd.DataFrame, bucket_fn, empty) -> pd.DataFrame:
 
 
 def _combine_pairs(pairs: "ray.data.Dataset", value_col: str,
-                   take_min: bool, empty: pd.DataFrame) -> "ray.data.Dataset":
+                   take_min: bool, empty: pd.DataFrame,
+                   distributed: bool = False) -> "ray.data.Dataset":
     """Dedupe (doc_a, doc_b) pairs that surfaced from several bands/blocks:
-    per-batch vectorized partial reduction, then one vectorized driver
-    combine. groupby().aggregate() here would pay ~0.25 ms/group of
-    machinery on what are overwhelmingly singleton pair-groups (measured
-    6+ s on 26k pairs). Driver combine is fine while the surviving pair
-    set fits one machine (pairs are bounded by the capped buckets); for a
-    dup-saturated corpus hash-partition the pairs on (doc_a, doc_b) and
-    run the same partial reduction per partition."""
+    per-batch vectorized partial reduction, then a final combine.
+
+    Default path: one vectorized driver combine — groupby().aggregate()
+    here would pay ~0.25 ms/group of machinery on what are overwhelmingly
+    singleton pair-groups (measured 6+ s on 26k pairs), and the surviving
+    pair set is bounded by the capped buckets, so it fits one machine at
+    sandbox scale.
+
+    ``distributed=True`` is the dup-saturated-corpus path: the same
+    partials are hash-partitioned on a coarse (doc_a, doc_b) key and
+    reduced per partition in tasks — identical pair set (a pair's partial
+    rows always share the coarse key), no driver combine, output left
+    unsorted (callers that need order sort the small result)."""
     how = "min" if take_min else "max"
 
     def partial(df: pd.DataFrame) -> pd.DataFrame:
@@ -267,8 +338,26 @@ def _combine_pairs(pairs: "ray.data.Dataset", value_col: str,
         return getattr(df.groupby(["doc_a", "doc_b"], as_index=False)
                        [value_col], how)()
 
-    frames = list(pairs.map_batches(partial, batch_format="pandas")
-                  .iter_batches(batch_format="pandas", batch_size=65536))
+    red = pairs.map_batches(partial, batch_format="pandas")
+    if distributed:
+        def with_pk(df: pd.DataFrame) -> pd.DataFrame:
+            df = df.copy()
+            a = df["doc_a"].to_numpy().astype(np.uint64)
+            b = df["doc_b"].to_numpy().astype(np.uint64)
+            df["_pk"] = ((a * np.uint64(2654435761) + b)
+                         % np.uint64(1 << 32)).astype("int64") \
+                % REDUCE_PARTITIONS
+            return df
+
+        def reduce_partition(df: pd.DataFrame) -> pd.DataFrame:
+            return getattr(
+                df.drop(columns=["_pk"])
+                .groupby(["doc_a", "doc_b"], as_index=False)[value_col], how)()
+
+        return red.map_batches(with_pk, batch_format="pandas") \
+            .groupby("_pk").map_groups(reduce_partition, batch_format="pandas")
+
+    frames = list(red.iter_batches(batch_format="pandas", batch_size=65536))
     if not frames:
         return ray.data.from_pandas(empty)
     out = getattr(pd.concat(frames, ignore_index=True)
@@ -277,22 +366,37 @@ def _combine_pairs(pairs: "ray.data.Dataset", value_col: str,
                                 .reset_index(drop=True))
 
 
-def minhash_lsh_pairs(docs: "ray.data.Dataset",
-                      threshold: float = 0.8) -> "ray.data.Dataset":
+def minhash_lsh_pairs(docs: "ray.data.Dataset", threshold: float = 0.8, *,
+                      distributed: bool = False,
+                      num_partitions: int = 0) -> "ray.data.Dataset":
     """documents -> unique candidate near-dup pairs (doc_a < doc_b) with
-    minhash-estimated Jaccard >= threshold."""
+    minhash-estimated Jaccard >= threshold.
+
+    ``distributed=False`` (default): hot buckets combined on the driver
+    and broadcast via ray.put — fastest at sandbox scale, documented cap
+    ~1e8 distinct buckets. ``distributed=True``: hot buckets become a
+    hash-partitioned reduce + semi-join (``_hot_buckets_ds`` /
+    ``_hot_candidates_semijoin``) and pair dedup a partitioned reduce —
+    identical pair set, no driver-sized state anywhere; use past the cap
+    or on dup-saturated corpora."""
     import functools
 
     sigs = docs.select_columns(["doc_id", "text"]).map_batches(
         _minhash_sig_rows, batch_format="pandas").materialize()
     bands = sigs.map_batches(_minhash_band_rows_slim, batch_format="pandas")
-    hot = _hot_buckets(bands)
-    if not hot:
-        return ray.data.from_pandas(_EMPTY_MINHASH_PAIRS)
-    hot_ref = ray.put(np.sort(np.fromiter(hot, dtype=np.int64, count=len(hot))))
-    cand = sigs.map_batches(
-        functools.partial(_hot_minhash_rows, hot_ref=hot_ref),
-        batch_format="pandas")
+    if distributed:
+        hot_ds = _hot_buckets_ds(bands)
+        cand = _hot_candidates_semijoin(
+            sigs, bands, hot_ds, num_partitions or _default_join_partitions())
+    else:
+        hot = _hot_buckets(bands)
+        if not hot:
+            return ray.data.from_pandas(_EMPTY_MINHASH_PAIRS)
+        hot_ref = ray.put(np.sort(np.fromiter(hot, dtype=np.int64,
+                                              count=len(hot))))
+        cand = sigs.map_batches(
+            functools.partial(_hot_minhash_rows, hot_ref=hot_ref),
+            batch_format="pandas")
     pairs = cand.map_batches(_with_coarse_key, batch_format="pandas") \
         .groupby("_pkey").map_groups(
             functools.partial(_per_bucket_pairs,
@@ -301,7 +405,7 @@ def minhash_lsh_pairs(docs: "ray.data.Dataset",
                               empty=_EMPTY_MINHASH_PAIRS),
             batch_format="pandas")
     return _combine_pairs(pairs, "jaccard_est", take_min=False,
-                          empty=_EMPTY_MINHASH_PAIRS)
+                          empty=_EMPTY_MINHASH_PAIRS, distributed=distributed)
 
 
 # --- simhash -----------------------------------------------------------------
@@ -406,19 +510,29 @@ def _simhash_pairs(group: pd.DataFrame, max_hamming: int) -> pd.DataFrame:
 
 
 def simhash_pairs(docs: "ray.data.Dataset",
-                  max_hamming: int = SIMHASH_MAX_HAMMING) -> "ray.data.Dataset":
+                  max_hamming: int = SIMHASH_MAX_HAMMING, *,
+                  distributed: bool = False,
+                  num_partitions: int = 0) -> "ray.data.Dataset":
+    """See ``minhash_lsh_pairs`` for the distributed-vs-broadcast trade;
+    the two pipelines share the hot-bucket machinery."""
     import functools
 
     sigs = docs.select_columns(["doc_id", "text"]).map_batches(
         _simhash_sig_rows, batch_format="pandas").materialize()
     bands = sigs.map_batches(_simhash_band_rows_slim, batch_format="pandas")
-    hot = _hot_buckets(bands)
-    if not hot:
-        return ray.data.from_pandas(_EMPTY_SIMHASH_PAIRS)
-    hot_ref = ray.put(np.sort(np.fromiter(hot, dtype=np.int64, count=len(hot))))
-    cand = sigs.map_batches(
-        functools.partial(_hot_simhash_rows, hot_ref=hot_ref),
-        batch_format="pandas")
+    if distributed:
+        hot_ds = _hot_buckets_ds(bands)
+        cand = _hot_candidates_semijoin(
+            sigs, bands, hot_ds, num_partitions or _default_join_partitions())
+    else:
+        hot = _hot_buckets(bands)
+        if not hot:
+            return ray.data.from_pandas(_EMPTY_SIMHASH_PAIRS)
+        hot_ref = ray.put(np.sort(np.fromiter(hot, dtype=np.int64,
+                                              count=len(hot))))
+        cand = sigs.map_batches(
+            functools.partial(_hot_simhash_rows, hot_ref=hot_ref),
+            batch_format="pandas")
     pairs = cand.map_batches(_with_coarse_key, batch_format="pandas") \
         .groupby("_pkey").map_groups(
             functools.partial(_per_bucket_pairs,
@@ -427,7 +541,7 @@ def simhash_pairs(docs: "ray.data.Dataset",
                               empty=_EMPTY_SIMHASH_PAIRS),
             batch_format="pandas")
     return _combine_pairs(pairs, "hamming", take_min=True,
-                          empty=_EMPTY_SIMHASH_PAIRS)
+                          empty=_EMPTY_SIMHASH_PAIRS, distributed=distributed)
 
 
 # --- near-dup dedup: pairs -> clusters -> keep-first -------------------------
