@@ -571,16 +571,116 @@ def cluster_pairs_keep_first(pairs: pd.DataFrame) -> Dict[int, int]:
     return {x: find(x) for x in list(parent) if find(x) != x}
 
 
+def components_losers_ds(pairs: "ray.data.Dataset", *,
+                         num_partitions: int = 0,
+                         max_iters: int = 50) -> "ray.data.Dataset":
+    """DISTRIBUTED connected components over near-dup pairs by min-id
+    label propagation — the scale path ``cluster_pairs_keep_first``'s
+    docstring names, now real: iterate a keyed min-exchange (join labels
+    to edges, take the min over neighbors, union with current labels)
+    until fixpoint. Same clusters as union-find; converges in
+    O(cluster diameter) rounds (near-dup clusters are dense, typically
+    2-3). Returns LOSER rows (doc_id, winner) — docs whose cluster
+    minimum is another doc. Nothing graph-shaped lands on the driver;
+    the per-round convergence check is a single Sum aggregate (labels
+    are monotone non-increasing, so an unchanged sum IS the fixpoint)."""
+    from ray.data.aggregate import Min, Sum
+
+    np_parts = num_partitions or _default_join_partitions()
+
+    def both_dirs(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "node": pd.concat([df["doc_a"], df["doc_b"]],
+                              ignore_index=True).astype("int64"),
+            "nbr": pd.concat([df["doc_b"], df["doc_a"]],
+                             ignore_index=True).astype("int64"),
+        })
+
+    edges = pairs.select_columns(["doc_a", "doc_b"]).map_batches(
+        both_dirs, batch_format="pandas").materialize()
+    if edges.count() == 0:
+        return ray.data.from_pandas(pd.DataFrame({
+            "doc_id": pd.Series([], dtype="int64"),
+            "winner": pd.Series([], dtype="int64")}))
+
+    def clip_label(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "node": df["node"].astype("int64"),
+            "label": np.minimum(df["node"].to_numpy(),
+                                df["label"].to_numpy()).astype("int64"),
+        })
+
+    # round 0 for free: label = min(node, min over direct neighbors)
+    labels = edges.groupby("node") \
+        .aggregate(Min("nbr", alias_name="label")) \
+        .map_batches(clip_label, batch_format="pandas").materialize()
+    prev_sum = labels.aggregate(Sum("label"))["sum(label)"]
+
+    for _ in range(max_iters):
+        nbr_labels = labels.map_batches(
+            lambda df: pd.DataFrame({
+                "nbr": df["node"].astype("int64"),
+                "nbr_label": df["label"].astype("int64")}),
+            batch_format="pandas")
+        msgs = edges.join(nbr_labels, join_type="inner",
+                          num_partitions=np_parts, on=("nbr",)) \
+            .map_batches(
+                lambda df: pd.DataFrame({
+                    "node": df["node"].astype("int64"),
+                    "label": df["nbr_label"].astype("int64")}),
+                batch_format="pandas")
+        labels = labels.union(msgs).groupby("node") \
+            .aggregate(Min("label", alias_name="label")).materialize()
+        cur_sum = labels.aggregate(Sum("label"))["sum(label)"]
+        if cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+    else:
+        raise RuntimeError(
+            f"components_losers_ds did not converge in {max_iters} rounds "
+            "(pathologically long chain clusters — raise max_iters)")
+
+    return labels.map_batches(
+        lambda df: df.loc[df["label"] != df["node"]].rename(
+            columns={"node": "doc_id", "label": "winner"}),
+        batch_format="pandas")
+
+
 def neardup_dedup_keep_first(docs: "ray.data.Dataset",
-                             threshold: float = 0.8) -> "ray.data.Dataset":
+                             threshold: float = 0.8, *,
+                             distributed: bool = False,
+                             num_partitions: int = 0) -> "ray.data.Dataset":
     """End-to-end fuzzy dedup: MinHash+LSH candidate pairs -> connected
     components -> drop every doc whose cluster has a smaller id. Returns
-    the surviving (doc_id) set as a Dataset. The loser set is broadcast
-    via ray.put and read zero-copy per batch; document text never moves
-    beyond the signature pass."""
+    the surviving (doc_id) set as a Dataset.
+
+    Default path: driver union-find over the (tiny, bucket-capped) pair
+    list; the loser set is broadcast via ray.put and read zero-copy per
+    batch — document text never moves beyond the signature pass.
+    ``distributed=True``: pairs stay a Dataset end-to-end — components
+    via ``components_losers_ds`` min-label propagation, survivors via an
+    anti-join (left-outer + null filter). Identical survivor set
+    (test-pinned); use when the pair list outgrows one machine."""
     import functools
 
-    pairs = minhash_lsh_pairs(docs, threshold).to_pandas()
+    pairs_ds = minhash_lsh_pairs(docs, threshold, distributed=distributed,
+                                 num_partitions=num_partitions)
+    if distributed:
+        losers_ds = components_losers_ds(pairs_ds,
+                                         num_partitions=num_partitions)
+
+        def survivors(df: pd.DataFrame) -> pd.DataFrame:
+            keep = df["winner"].isna()
+            return pd.DataFrame(
+                {"doc_id": df.loc[keep, "doc_id"].astype("int64")})
+
+        return docs.select_columns(["doc_id"]).join(
+            losers_ds, join_type="left_outer",
+            num_partitions=num_partitions or _default_join_partitions(),
+            on=("doc_id",)) \
+            .map_batches(survivors, batch_format="pandas")
+
+    pairs = pairs_ds.to_pandas()
     losers = cluster_pairs_keep_first(pairs)
     loser_arr = np.sort(np.fromiter(losers.keys(), dtype=np.int64,
                                     count=len(losers)))

@@ -104,6 +104,38 @@ def test_distributed_commit_pass_identical(ray_session, tmp_path):
     assert got["driver"][1]["n_rows"].sum() == 150
 
 
+def test_components_min_label_matches_union_find(ray_session):
+    """Min-label propagation (joins + keyed min until fixpoint) produces
+    the exact union-find loser map, including multi-hop chains that need
+    several propagation rounds."""
+    pairs = ray.data.from_pandas(pd.DataFrame({
+        "doc_a": [1, 2, 3, 4, 10, 20],
+        "doc_b": [2, 3, 4, 5, 11, 1],
+        "jaccard_est": [0.9] * 6}))
+    losers = neardup.components_losers_ds(pairs).to_pandas()
+    got = dict(zip(losers["doc_id"].astype(int),
+                   losers["winner"].astype(int)))
+    expect = neardup.cluster_pairs_keep_first(pairs.to_pandas())
+    assert got == expect == {2: 1, 3: 1, 4: 1, 5: 1, 11: 10, 20: 1}
+
+    empty = ray.data.from_pandas(pd.DataFrame({
+        "doc_a": pd.Series([], dtype="int64"),
+        "doc_b": pd.Series([], dtype="int64"),
+        "jaccard_est": pd.Series([], dtype="float64")}))
+    assert len(neardup.components_losers_ds(empty).to_pandas()) == 0
+
+
+def test_neardup_dedup_distributed_identical(ray_session):
+    """Distributed fuzzy dedup (label propagation + anti-join) keeps the
+    exact survivor set of the driver union-find + broadcast path."""
+    driver = set(neardup.neardup_dedup_keep_first(_docs(), 0.5)
+                 .to_pandas()["doc_id"])
+    dist = set(neardup.neardup_dedup_keep_first(
+        _docs(), 0.5, distributed=True).to_pandas()["doc_id"])
+    assert driver == dist
+    assert 0 < len(dist) < _docs().count()  # some losers actually dropped
+
+
 def test_hot_buckets_ds_matches_driver_combine(ray_session):
     """The distributed hot-bucket reduce returns exactly the driver
     combine's bucket set."""
