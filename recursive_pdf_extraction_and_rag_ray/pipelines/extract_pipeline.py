@@ -270,18 +270,38 @@ def _commit_partials_distributed(parts: "ray.data.Dataset",
             for _, r in summary.iterrows()}
 
 
+SEGMENTS_DIRNAME = "_segments"
+
+
 def run_extract_stage(input_dir_or_paths, out_dir: str, *,
                       concurrency: Optional[int] = None,
                       batch_size: int = 64,
                       resume: bool = True,
-                      commit_mode: str = "auto") -> Dict[str, int]:
+                      commit_mode: str = "auto",
+                      giant_split: bool = True) -> Dict[str, int]:
     """pages shards -> out_dir/docs (partitioned by shard) + lineage.
+
+    ``giant_split`` (default on) routes giant layout payloads through the
+    skew-safe segment path (stages.skewtools.ExtractPagesSegmentsRouter):
+    the pages input is read ONCE; oversized payloads explode into bounded
+    page-range segments parsed across the pool and spilled as parsed
+    text, reassembled per url by one tiny keyed exchange after the main
+    write — byte-identical output (conformance-tested), and no
+    multi-hundred-page doc ever pins one actor for the whole parse.
 
     ``commit_mode``: 'driver' combines the commit partials with one Arrow
     C++ hash aggregate on the driver (fastest, fine to ~5e7 doc rows per
     run); 'distributed' shuffles the partials once on ``shard`` and each
     task commits its own shard (no driver-sized state); 'auto' picks from
     the written parquet footers."""
+    from ..stages.skewtools import (
+        DEFAULT_MAX_PAGES,
+        GIANT_PAYLOAD_HINT,
+        ExtractPagesSegmentsRouter,
+        explode_giants_batch,
+        reassemble_spilled_segments,
+    )
+
     shards = list_shards(input_dir_or_paths)
     docs_dir = os.path.join(out_dir, "docs")
     done = completed_shards(out_dir, STAGE_EXTRACT, PARSER_VERSION) if resume else set()
@@ -291,14 +311,31 @@ def run_extract_stage(input_dir_or_paths, out_dir: str, *,
 
     pending_stems = [_shard_stem(p) for p in pending]
     _clean_partitions(docs_dir, pending_stems)
+    seg_dir = os.path.join(out_dir, SEGMENTS_DIRNAME)
+    shutil.rmtree(seg_dir, ignore_errors=True)  # transient spill, mid-run only
 
     conc = concurrency or _default_concurrency()
     ds = ray.data.read_parquet(pending, include_paths=True)
-    docs = ds.map_batches(
-        ExtractPages, batch_format="pyarrow", batch_size=batch_size,
-        concurrency=_pool(conc), num_cpus=1)
+    if giant_split:
+        exploded = ds.map_batches(
+            lambda t: explode_giants_batch(
+                t, max_pages=DEFAULT_MAX_PAGES,
+                size_hint=GIANT_PAYLOAD_HINT, keep=("path",)),
+            batch_format="pyarrow")
+        docs = exploded.map_batches(
+            ExtractPagesSegmentsRouter, batch_format="pyarrow",
+            batch_size=batch_size, concurrency=_pool(conc), num_cpus=1,
+            fn_constructor_kwargs={"side_dir": seg_dir})
+    else:
+        docs = ds.map_batches(
+            ExtractPages, batch_format="pyarrow", batch_size=batch_size,
+            concurrency=_pool(conc), num_cpus=1)
     docs.write_parquet(docs_dir, partition_cols=["shard"],
                       compression="zstd")
+    if giant_split and glob.glob(os.path.join(seg_dir, "*.parquet")):
+        reassemble_spilled_segments(seg_dir).write_parquet(
+            docs_dir, partition_cols=["shard"], compression="zstd")
+        shutil.rmtree(seg_dir, ignore_errors=True)
 
     # one read-back pass over the written shards (3 short columns) builds
     # BOTH the lineage checksums and the per-shard dedup-winner partials

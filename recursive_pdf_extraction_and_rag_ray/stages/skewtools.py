@@ -80,25 +80,41 @@ def split_layout_payload(payload: bytes, max_pages: int) -> List[bytes]:
 
 
 def explode_giants_batch(batch: pa.Table,
-                         max_pages: int = DEFAULT_MAX_PAGES) -> pa.Table:
+                         max_pages: int = DEFAULT_MAX_PAGES,
+                         size_hint: int = 0,
+                         keep: tuple = ()) -> pa.Table:
     """pages batch -> segment rows. Direct-text and HTML rows pass through
-    as a single segment."""
+    as a single segment.
+
+    ``size_hint`` > 0 adds a cheap byte gate: only payloads larger than it
+    are even page-counted, so the explode costs one vectorized length
+    check on a normal corpus (routing is a hint, never semantics — a
+    mis-hinted giant just stays unsplit and parses whole). ``keep`` lists
+    extra columns replicated onto every segment (e.g. ``path`` for shard
+    attribution)."""
+    keep_vals = {c: batch[c].to_pylist() for c in keep}
     rows = []
-    for url, text, html, lang in zip(batch["url"].to_pylist(),
-                                     batch["text"].to_pylist(),
-                                     batch["html"].to_pylist(),
-                                     batch["lang"].to_pylist()):
+    for i, (url, text, html, lang) in enumerate(zip(
+            batch["url"].to_pylist(), batch["text"].to_pylist(),
+            batch["html"].to_pylist(), batch["lang"].to_pylist())):
         payload = html or b""
-        if is_layout_payload(payload) and not (text or "").strip():
+        if (len(payload) > size_hint and is_layout_payload(payload)
+                and not (text or "").strip()):
             segs = split_layout_payload(payload, max_pages)
         else:
             segs = [payload]
         n = len(segs)
         for k, seg in enumerate(segs):
-            rows.append({"url": url, "seg_index": k, "n_segs": n,
-                         "text": text if k == 0 else "",
-                         "html": seg, "lang": lang})
-    return pa.Table.from_pylist(rows, schema=SEG_SCHEMA)
+            row = {"url": url, "seg_index": k, "n_segs": n,
+                   "text": text if k == 0 else "",
+                   "html": seg, "lang": lang}
+            for c in keep:
+                row[c] = keep_vals[c][i]
+            rows.append(row)
+    schema = SEG_SCHEMA
+    for c in keep:
+        schema = schema.append(pa.field(c, batch.schema.field(c).type))
+    return pa.Table.from_pylist(rows, schema=schema)
 
 
 class ExtractSegments:
@@ -250,6 +266,142 @@ def tiled_pair_groups(ds: "ray.data.Dataset", *, block_col: str, id_col: str,
         batch_format="pandas")
     return exploded.groupby([block_col, "_ti", "_tj"]).map_groups(
         pair_fn, batch_format="pandas")
+
+
+# byte gate for flagship routing: normal synthetic docs are ~2-20 KB,
+# giants ~100x that. Purely a routing hint — a giant below it parses
+# whole (correct, just unsplit), a normal layout doc above it splits into
+# one segment-set and reassembles byte-identically.
+GIANT_PAYLOAD_HINT = 64 * 1024
+
+
+class ExtractPagesSegmentsRouter:
+    """Flagship extraction actor with skew-safe giant routing, SINGLE input
+    read: single-segment rows (the overwhelming majority) go through the
+    full ``ExtractPages`` semantics unchanged; multi-segment rows (giants
+    exploded upstream) are layout-parsed UNGATED and spilled as parsed
+    segment rows to ``side_dir`` — bounded work per task, no giant ever
+    occupies an actor end-to-end (the reference's 600-page-PDF failure
+    mode, convert_to_embeddings.py:456,602-638). The caller reassembles
+    the (tiny) spill with one keyed exchange after the main write; only
+    parsed giant text moves, never raw payloads, and the pages input is
+    scanned exactly once."""
+
+    def __init__(self, side_dir: str, policy: str = "fallback",
+                 force_parse: bool = False):
+        import os
+
+        from .extract import ExtractPages
+        self.side_dir = side_dir
+        self.inner = ExtractPages(policy=policy, force_parse=force_parse)
+        self._seq = 0
+        os.makedirs(side_dir, exist_ok=True)
+
+    def _spill(self, table: pa.Table) -> None:
+        import os
+
+        import pyarrow.parquet as pq
+        name = f"{os.getpid()}-{self._seq}.parquet"
+        self._seq += 1
+        tmp = os.path.join(self.side_dir, name + ".tmp")
+        pq.write_table(table, tmp)
+        os.replace(tmp, os.path.join(self.side_dir, name))
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        from .extract import SPANS_TYPE, shard_from_path
+        from ..functions.layout import extract_layout
+
+        single = batch.filter(pc.equal(batch["n_segs"], 1)) \
+            .drop_columns(["seg_index", "n_segs"])
+        multi = batch.filter(pc.greater(batch["n_segs"], 1))
+        if multi.num_rows:
+            segs = {"url": multi["url"].to_pylist(),
+                    "seg_index": multi["seg_index"].to_pylist(),
+                    "n_segs": multi["n_segs"].to_pylist(),
+                    "lang": multi["lang"].to_pylist(),
+                    "shard": [shard_from_path(p)
+                              for p in multi["path"].to_pylist()]}
+            texts, spans_col = [], []
+            for payload in multi["html"].to_pylist():
+                tx, spans = extract_layout(payload or b"")
+                texts.append(tx)
+                spans_col.append([{"block_id": b, "start": s, "end": e}
+                                  for b, s, e in spans])
+            self._spill(pa.table({
+                "url": pa.array(segs["url"], pa.string()),
+                "seg_index": pa.array(segs["seg_index"], pa.int32()),
+                "n_segs": pa.array(segs["n_segs"], pa.int32()),
+                "seg_text": pa.array(texts, pa.large_string()),
+                "spans": pa.array(spans_col, SPANS_TYPE),
+                "lang": pa.array(segs["lang"], pa.string()),
+                "shard": pa.array(segs["shard"], pa.string()),
+            }))
+        return self.inner(single)
+
+
+def _reassemble_group_full(group: pa.Table) -> pa.Table:
+    """Spilled segment rows of ONE url -> one full docs-schema row,
+    byte-identical to the whole-doc parse under the uniform-furniture
+    assumption (module docstring; conformance-tested). Spans are merged
+    with cumulative page-index and char offsets, so block ids and offsets
+    equal the whole-doc parse's. Duplicate seg_index rows (a retried
+    spill task) are dropped — segment content is deterministic."""
+    from ..functions.textproc import MIN_EFFECTIVE_CHARS, effective_chars
+    from ..functions.urlmeta import parse_url_meta
+    from .extract import SPANS_TYPE
+
+    df = group.to_pandas().drop_duplicates("seg_index") \
+        .sort_values("seg_index")
+    parts = df["seg_text"].tolist()
+    full = "\n".join(parts)
+    spans: List[dict] = []
+    if effective_chars(full) >= MIN_EFFECTIVE_CHARS:
+        method = "parsed"
+        page_base = 0
+        char_base = 0
+        for k, (txt, seg_spans) in enumerate(zip(parts, df["spans"])):
+            if k:
+                char_base += 1  # the "\n" segment joiner
+            for s in seg_spans:
+                spans.append({"block_id": int(s["block_id"]) + page_base,
+                              "start": int(s["start"]) + char_base,
+                              "end": int(s["end"]) + char_base})
+            page_base += len(seg_spans)
+            char_base += len(txt)
+    else:
+        full, method = "", "empty"
+    url = df["url"].iloc[0]
+    meta = parse_url_meta(url)
+    digest = sha256_text(full)
+    return pa.table({
+        "url": pa.array([url], pa.string()),
+        "text_extracted": pa.array([full], pa.large_string()),
+        "text_sha256": pa.array([digest], pa.string()),
+        "spans": pa.array([spans], SPANS_TYPE),
+        "method": pa.array([method], pa.string()),
+        "n_blocks": pa.array([len(spans)], pa.int32()),
+        "n_chars": pa.array([len(full)], pa.int64()),
+        "lang": pa.array([df["lang"].iloc[0]], pa.string()),
+        "host": pa.array([meta["host"]], pa.string()),
+        "group_key": pa.array([meta["group_key"]], pa.string()),
+        "doc_hash": pa.array([digest], pa.string()),
+        "shard": pa.array([df["shard"].iloc[0]], pa.string()),
+    })
+
+
+def reassemble_spilled_segments(side_dir: str) -> "ray.data.Dataset":
+    """Read the spill and reassemble per url — the only keyed exchange of
+    the skew-safe extract path, over parsed giant text only (a tiny
+    fraction of the corpus by construction)."""
+    import glob
+    import os
+
+    files = sorted(glob.glob(os.path.join(side_dir, "*.parquet")))
+    ds = ray.data.read_parquet(files)
+    return ds.groupby("url").map_groups(_reassemble_group_full,
+                                        batch_format="pyarrow")
 
 
 def extract_with_giant_split(pages: "ray.data.Dataset", *,

@@ -90,3 +90,35 @@ def test_giants_actually_fan_out(pages_table):
     n_segs = segs.column("n_segs").to_pylist()
     assert max(n_segs) > 1                 # giants split
     assert min(n_segs) == 1                # normal docs untouched
+
+
+def test_flagship_giant_split_identical(ray_session, tmp_path):
+    """The flagship extract stage with giant routing ON (default) must
+    write byte-identical docs — text, spans, hashes, counts — to the
+    whole-doc path, with the transient spill dir cleaned up."""
+    import os
+
+    import pandas as pd
+    import pyarrow.dataset as pads
+
+    from recursive_pdf_extraction_and_rag_ray.pipelines.extract_pipeline import (
+        run_extract_stage,
+    )
+    from recursive_pdf_extraction_and_rag_ray.sources.pages_gen import (
+        synthesize_corpus,
+    )
+
+    outs = {}
+    for gs in (False, True):
+        root = str(tmp_path / f"gs_{gs}")
+        synthesize_corpus(f"{root}/pages", n_docs=300, n_shards=3)
+        run_extract_stage(f"{root}/pages", f"{root}/out", concurrency=3,
+                          giant_split=gs)
+        df = pads.dataset(f"{root}/out/docs", partitioning="hive") \
+            .to_table().to_pandas()
+        df["spans"] = df["spans"].map(lambda s: str(list(s)))
+        outs[gs] = df.astype({"shard": str})[sorted(df.columns)] \
+            .sort_values("url").reset_index(drop=True)
+        assert not os.path.isdir(f"{root}/out/_segments")
+    assert (outs[True]["n_blocks"] > 50).any()  # a giant actually split
+    pd.testing.assert_frame_equal(outs[False], outs[True])
