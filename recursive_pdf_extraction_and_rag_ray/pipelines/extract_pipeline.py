@@ -50,6 +50,7 @@ from ..stages.chunk import chunk_docs_batch
 from ..stages.embed import HashEmbedder
 from ..stages.extract import ExtractPages
 from ..state.lineage import append_lineage, completed_shards
+from ..state.metrics import append_metrics
 
 STAGE_EXTRACT = "extract"
 STAGE_CHUNKS = "chunks_embedded"
@@ -94,9 +95,12 @@ def _clean_partitions(table_dir: str, shards: Sequence[str]) -> None:
 
 
 def _checksum_partials(batch: pa.Table) -> pa.Table:
-    """Per-batch partial: (shard, n_rows, key_sum). Combined driver-side —
-    tiny tables only cross to the driver. sha1-per-key is inherent; the
-    grouping/summing is vectorized (uint64 sums wrap mod 2^64)."""
+    """Per-batch partial: (shard, n_rows, key_sum[, n_tokens]). Combined
+    driver-side — tiny tables only cross to the driver. sha1-per-key is
+    inherent; the grouping/summing is vectorized (uint64 sums wrap mod
+    2^64). When the batch carries ``n_chars`` the token partial
+    (reference len//4 heuristic, convert_to_embeddings.py:106-118) rides
+    along for free — no extra read of chunk text for billing."""
     import hashlib
     import struct
 
@@ -107,15 +111,21 @@ def _checksum_partials(batch: pa.Table) -> pa.Table:
     ks = np.fromiter(
         (struct.unpack("<Q", hashlib.sha1(k.encode()).digest()[:8])[0]
          for k in keys), dtype=np.uint64, count=len(keys))
-    df = pd.DataFrame({"shard": batch.column("shard").to_pylist(), "_k": ks})
+    toks = (np.maximum(1, batch.column("n_chars").to_numpy() // 4)
+            if "n_chars" in batch.column_names
+            else np.zeros(len(keys), dtype=np.int64))
+    df = pd.DataFrame({"shard": batch.column("shard").to_pylist(), "_k": ks,
+                       "_t": toks})
     agg = df.groupby("shard", as_index=False).agg(
         n_rows=("_k", "size"),
-        key_sum=("_k", lambda s: np.add.reduce(s.to_numpy(dtype=np.uint64))))
+        key_sum=("_k", lambda s: np.add.reduce(s.to_numpy(dtype=np.uint64))),
+        n_tokens=("_t", "sum"))
     return pa.table({
         "shard": pa.array(agg["shard"].tolist(), pa.string()),
         "n_rows": pa.array(agg["n_rows"].astype("int64"), pa.int64()),
         "key_sum": pa.array(agg["key_sum"].to_numpy().astype(np.uint64),
                             pa.uint64()),
+        "n_tokens": pa.array(agg["n_tokens"].astype("int64"), pa.int64()),
     })
 
 
@@ -206,13 +216,16 @@ def _combine_checksums(ds: "ray.data.Dataset") -> Dict[str, dict]:
         _checksum_partials, batch_format="pyarrow")
     acc: Dict[str, List[int]] = {}
     for b in partials.iter_batches(batch_format="pyarrow"):
-        for s, n, ksum in zip(b.column("shard").to_pylist(),
-                              b.column("n_rows").to_pylist(),
-                              b.column("key_sum").to_pylist()):
-            e = acc.setdefault(s, [0, 0])
+        for s, n, ksum, ntok in zip(b.column("shard").to_pylist(),
+                                    b.column("n_rows").to_pylist(),
+                                    b.column("key_sum").to_pylist(),
+                                    b.column("n_tokens").to_pylist()):
+            e = acc.setdefault(s, [0, 0, 0])
             e[0] += n
             e[1] = (e[1] + ksum) & 0xFFFFFFFFFFFFFFFF
-    return {s: {"n_rows": v[0], "checksum": f"{v[1]:016x}"}
+            e[2] += ntok
+    return {s: {"n_rows": v[0], "checksum": f"{v[1]:016x}",
+                "n_tokens": v[2]}
             for s, v in acc.items()}
 
 
@@ -537,15 +550,26 @@ def run_rag_stage(out_dir: str, *, concurrency: Optional[int] = None,
     embedded.write_parquet(chunks_dir, partition_cols=["shard"],
                            compression="zstd")
 
+    # n_chars rides along so the billing partial needs no extra text read
     written = ray.data.read_parquet(
         _partition_files(chunks_dir, pending),
-        columns=["id", "url"], include_paths=True,
+        columns=["id", "url", "n_chars"], include_paths=True,
     ).map_batches(_attach_shard_from_path, batch_format="pyarrow")
     sums = _combine_checksums(written)
     # shards can legitimately produce zero chunks (all-empty docs)
     for s in pending:
-        sums.setdefault(s, {"n_rows": 0, "checksum": "0" * 16})
+        sums.setdefault(s, {"n_rows": 0, "checksum": "0" * 16,
+                            "n_tokens": 0})
     _commit(out_dir, STAGE_CHUNKS, {s: s for s in pending}, sums)
+    # durable billing ledger beside _lineage (reference billing.py:34-51
+    # semantics): content-keyed filenames make the write idempotent, so
+    # totals accumulate exactly once per shard across resumes
+    append_metrics(out_dir, [
+        {"stage": STAGE_CHUNKS, "key": s,
+         "n_rows": sums[s]["n_rows"],
+         "n_tokens": sums[s].get("n_tokens", 0),
+         "n_errors": 0, "wall_s": 0.0}
+        for s in pending])
     return {"shards_total": len(all_shards), "shards_run": len(pending)}
 
 

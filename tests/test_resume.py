@@ -91,3 +91,58 @@ def test_skew_giant_docs_complete_and_bounded(clean_run):
     assert max(n_chars) > 50 * sorted(n_chars)[len(n_chars) // 2]  # skew present
     shards = set(t.column("shard").to_pylist())
     assert len(shards) == len(paths)
+
+
+def test_metrics_accumulate_exactly_once_per_shard(ray_session, tmp_path):
+    """The persisted _metrics ledger (reference billing.py semantics) must
+    accumulate exactly once per shard: a no-op resume changes nothing, a
+    new shard appends only itself, and totals match the chunks table."""
+    import glob
+    import os
+    import shutil
+
+    import pyarrow.dataset as pads
+
+    from recursive_pdf_extraction_and_rag_ray.pipelines.extract_pipeline import (
+        run_pipeline,
+    )
+    from recursive_pdf_extraction_and_rag_ray.sources.pages_gen import (
+        synthesize_corpus,
+    )
+    from recursive_pdf_extraction_and_rag_ray.state.metrics import (
+        load_metrics,
+        metrics_totals,
+    )
+
+    root = str(tmp_path / "m")
+    synthesize_corpus(f"{root}/pages", n_docs=200, n_shards=4)
+    # hold one shard back to simulate a later arrival
+    held = sorted(glob.glob(f"{root}/pages/*.parquet"))[-1]
+    os.makedirs(f"{root}/held")
+    shutil.move(held, f"{root}/held/{os.path.basename(held)}")
+
+    run_pipeline(f"{root}/pages", f"{root}/out", concurrency=3,
+                 build_index=False)
+    t1 = metrics_totals(f"{root}/out")
+    assert t1["shards"] == 3 and t1["n_rows"] > 0 and t1["n_tokens"] > 0
+
+    # no-op resume: ledger byte-stable
+    run_pipeline(f"{root}/pages", f"{root}/out", concurrency=3,
+                 build_index=False)
+    assert metrics_totals(f"{root}/out") == t1
+
+    # the held shard arrives: exactly one new row set appended
+    shutil.move(f"{root}/held/{os.path.basename(held)}", held)
+    run_pipeline(f"{root}/pages", f"{root}/out", concurrency=3,
+                 build_index=False)
+    t3 = metrics_totals(f"{root}/out")
+    assert t3["shards"] == 4
+    assert t3["n_rows"] > t1["n_rows"]
+    # ledger n_rows == actual chunk rows; n_tokens == sum(max(1, n//4))
+    chunks = pads.dataset(f"{root}/out/chunks", partitioning="hive") \
+        .to_table(columns=["n_chars"]).to_pandas()
+    assert t3["n_rows"] == len(chunks)
+    assert t3["n_tokens"] == int(
+        chunks["n_chars"].floordiv(4).clip(lower=1).sum())
+    per_shard = load_metrics(f"{root}/out").to_pandas()
+    assert per_shard["key"].is_unique
