@@ -814,6 +814,38 @@ def q_media_features(sf_dir):
                                "mean_intensity"])
 
 
+def q_json_repair(sf_dir):
+    """LLM-output JSON handling (the last SURVEY 2.9 scalar; reference
+    gemini_service.py:283-443 fallback chain) as a pipeline: a
+    deterministic noisy-JSON payload per doc (clean / fenced / truncated /
+    garbage by doc_id mod 4) -> fence-strip + balanced-extract +
+    truncation-repair parse -> (status, n_keys). Rows-only (the repair
+    chain is not SQL-expressible); absolute outputs pinned by unit tests."""
+    from ..functions.jsonrepair import parse_json_batch
+
+    ds = _t(sf_dir, "documents", columns=["doc_id", "source", "n_chars"])
+
+    def to_payload(df: pd.DataFrame) -> pd.DataFrame:
+        payloads = []
+        for did, src, nc in zip(df["doc_id"], df["source"], df["n_chars"]):
+            base = (f'{{"doc_id": {did}, "source": "{src}", '
+                    f'"n": {nc}, "tags": ["a", "b"]}}')
+            m = did % 4
+            if m == 0:
+                payloads.append(base)
+            elif m == 1:
+                payloads.append("```json\n" + base + "\n```")
+            elif m == 2:
+                payloads.append("model says: " + base[:len(base) // 2])
+            else:
+                payloads.append("no json here at all")
+        return pd.DataFrame({"doc_id": df["doc_id"].astype("int64"),
+                             "payload": payloads})
+
+    return ds.map_batches(to_payload, batch_format="pandas") \
+        .map_batches(parse_json_batch, batch_format="pandas")
+
+
 def q_rolling_fingerprint(sf_dir):
     ds = _t(sf_dir, "documents", columns=["doc_id", "text"])
     return ds.map_batches(textstats.rolling_fingerprint_batch,
@@ -856,6 +888,7 @@ def queries() -> Dict[str, Callable]:
         "media_features": q_media_features,
         "extract_pages": q_extract_pages,
         "rolling_fingerprint": q_rolling_fingerprint,
+        "json_repair": q_json_repair,
     }
 
 
