@@ -87,19 +87,49 @@ def explode_giants_batch(batch: pa.Table,
     as a single segment.
 
     ``size_hint`` > 0 adds a cheap byte gate: only payloads larger than it
-    are even page-counted, so the explode costs one vectorized length
-    check on a normal corpus (routing is a hint, never semantics — a
-    mis-hinted giant just stays unsplit and parses whole). ``keep`` lists
-    extra columns replicated onto every segment (e.g. ``path`` for shard
-    attribution)."""
-    keep_vals = {c: batch[c].to_pylist() for c in keep}
+    are even page-counted, and a batch with NO oversized payload takes a
+    fully vectorized passthrough (constant seg columns appended, zero
+    per-row Python — the explode must cost ~nothing on a normal corpus).
+    ``keep`` lists extra columns replicated onto every segment (e.g.
+    ``path`` for shard attribution)."""
+    import pyarrow.compute as pc
+
+    schema = SEG_SCHEMA
+    for c in keep:
+        schema = schema.append(pa.field(c, batch.schema.field(c).type))
+
+    def passthrough(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        cols = {
+            "url": pc.cast(t["url"], pa.string()),
+            "seg_index": pa.array(np.zeros(n, dtype=np.int32), pa.int32()),
+            "n_segs": pa.array(np.ones(n, dtype=np.int32), pa.int32()),
+            "text": pc.cast(t["text"], pa.string()),
+            "html": pc.cast(t["html"], pa.large_binary()),
+            "lang": pc.cast(t["lang"], pa.string()),
+        }
+        for c in keep:
+            cols[c] = t[c]
+        return pa.table(cols).cast(schema)
+
+    if size_hint > 0:
+        lens = pc.fill_null(pc.binary_length(batch["html"]), 0)
+        big_mask = pc.greater(lens, size_hint)
+        if not pc.any(big_mask).as_py():
+            return passthrough(batch)
+        small = batch.filter(pc.invert(big_mask))
+        big = batch.filter(big_mask)
+    else:
+        small = batch.slice(0, 0)
+        big = batch
+
+    keep_vals = {c: big[c].to_pylist() for c in keep}
     rows = []
     for i, (url, text, html, lang) in enumerate(zip(
-            batch["url"].to_pylist(), batch["text"].to_pylist(),
-            batch["html"].to_pylist(), batch["lang"].to_pylist())):
+            big["url"].to_pylist(), big["text"].to_pylist(),
+            big["html"].to_pylist(), big["lang"].to_pylist())):
         payload = html or b""
-        if (len(payload) > size_hint and is_layout_payload(payload)
-                and not (text or "").strip()):
+        if (is_layout_payload(payload) and not (text or "").strip()):
             segs = split_layout_payload(payload, max_pages)
         else:
             segs = [payload]
@@ -111,10 +141,10 @@ def explode_giants_batch(batch: pa.Table,
             for c in keep:
                 row[c] = keep_vals[c][i]
             rows.append(row)
-    schema = SEG_SCHEMA
-    for c in keep:
-        schema = schema.append(pa.field(c, batch.schema.field(c).type))
-    return pa.Table.from_pylist(rows, schema=schema)
+    exploded = pa.Table.from_pylist(rows, schema=schema)
+    if small.num_rows == 0:
+        return exploded
+    return pa.concat_tables([passthrough(small), exploded])
 
 
 class ExtractSegments:
