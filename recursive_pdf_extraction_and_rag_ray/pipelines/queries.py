@@ -572,7 +572,7 @@ WHERE list_cosine_similarity(a.embedding::DOUBLE[],
 """
 
 
-# --- non-SQL-expressible ops (driver records rows-only checks) ---------------
+# --- near-dup / ANN family (oracle-checked where SQL-expressible) ------------
 
 def q_minhash_pairs(sf_dir):
     ds = _t(sf_dir, "documents", columns=["doc_id", "text"])
@@ -639,6 +639,136 @@ JOIN sigs sa ON sa.doc_id = c.doc_a
 JOIN sigs sb ON sb.doc_id = c.doc_b
 WHERE bit_count(xor(sa.sig, sb.sig)) <= {neardup.SIMHASH_MAX_HAMMING}
 """
+
+
+# Self-contained DuckDB reproduction of the WHOLE minhash pipeline —
+# possible because char_shingles is a polynomial codepoint hash DuckDB can
+# recompute exactly in HUGEINT (wrap-mod-2^64 at the polynomial, then the
+# permutation (a*x+b) mod 2^64 mod (2^61-1), then the FNV band fold of
+# stages/neardup.py:_band_buckets with its >>11 53-bit truncation, the
+# 2..MAX_BUCKET_WIDTH hot cap, and the signature-agreement estimate).
+# A green hash-match PROVES candidate generation AND the estimate, not
+# just the final pair list. Perm constants are embedded from the same
+# _PERM_A/_PERM_B arrays the engine uses.
+_SQL_M64 = "18446744073709551616"  # 2^64 (HUGEINT wrap modulus)
+
+
+def _sql_perm_rows() -> str:
+    a, b = neardup._PERM_A, neardup._PERM_B
+    return ", ".join(f"({i}, {int(a[i])}, {int(b[i])})" for i in range(len(a)))
+
+
+def _sql_band_fold() -> str:
+    """Nested SQL expression for the FNV band fold over vs[1..LSH_ROWS]:
+    h = fnv_offset ^ ((band+1)*golden mod 2^64); h = (h ^ v)*prime mod 2^64
+    per row. XOR runs in UBIGINT (no overflow), multiplies in HUGEINT."""
+    h = (f"xor(CAST({0xCBF29CE484222325} AS UBIGINT), "
+         f"CAST(((band + 1) * CAST({0x9E3779B97F4A7C15} AS HUGEINT)) "
+         f"% {_SQL_M64} AS UBIGINT))")
+    for k in range(1, neardup.LSH_ROWS + 1):
+        h = (f"CAST((CAST(xor({h}, vs[{k}]) AS HUGEINT) "
+             f"* {0x100000001B3}) % {_SQL_M64} AS UBIGINT)")
+    return h
+
+
+def _sql_minhash_ctes(threshold: float) -> str:
+    """The shared CTE chain documents -> minhash candidate pairs
+    (doc_a, doc_b, jaccard_est) at ``threshold``; composed into both
+    SQL_MINHASH_PAIRS and SQL_NEARDUP_DEDUP."""
+    return rf"""norm AS (
+  SELECT doc_id,
+         CASE WHEN length(s) < 5 THEN s || repeat(' ', 5 - length(s))
+              ELSE s END AS s
+  FROM (SELECT doc_id,
+               lower(array_to_string(list_filter(
+                 regexp_split_to_array(text, '\s+'), x -> x <> ''), ' ')) AS s
+        FROM documents)
+),
+cps AS (
+  SELECT doc_id, i, ord(c) AS c FROM (
+    SELECT doc_id,
+           unnest(generate_series(1, length(s))) AS i,
+           unnest(str_split(s, '')) AS c
+    FROM norm)
+),
+shing AS (
+  SELECT DISTINCT doc_id,
+    CAST((((((CAST(c0 AS HUGEINT) * {neardup.SHINGLE_BASE} + c1)
+           * {neardup.SHINGLE_BASE} + c2) * {neardup.SHINGLE_BASE} + c3)
+           * {neardup.SHINGLE_BASE} + c4) % {_SQL_M64}) AS UBIGINT) AS h
+  FROM (
+    SELECT doc_id, c AS c0,
+           lead(c, 1) OVER w AS c1, lead(c, 2) OVER w AS c2,
+           lead(c, 3) OVER w AS c3, lead(c, 4) OVER w AS c4
+    FROM cps WINDOW w AS (PARTITION BY doc_id ORDER BY i)
+  ) WHERE c4 IS NOT NULL
+),
+perms(pid, a, b) AS (VALUES {_sql_perm_rows()}),
+sig AS (
+  SELECT doc_id, pid,
+         min(CAST(((CAST(a AS HUGEINT) * h + b) % {_SQL_M64})
+                  % {(1 << 61) - 1} AS UBIGINT)) AS v
+  FROM shing, perms
+  GROUP BY doc_id, pid
+),
+bandv AS (
+  SELECT doc_id, pid // {neardup.LSH_ROWS} AS band,
+         list(v ORDER BY pid) AS vs
+  FROM sig GROUP BY doc_id, pid // {neardup.LSH_ROWS}
+),
+buckets AS (
+  SELECT doc_id, CAST({_sql_band_fold()} // 2048 AS BIGINT) AS bucket
+  FROM bandv
+),
+hot AS (
+  SELECT bucket FROM buckets GROUP BY bucket
+  HAVING count(*) BETWEEN 2 AND {neardup.MAX_BUCKET_WIDTH}
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM buckets a
+  JOIN hot h ON a.bucket = h.bucket
+  JOIN buckets b ON a.bucket = b.bucket AND a.doc_id < b.doc_id
+),
+mh_pairs AS (
+  SELECT doc_a, doc_b, round(est, 6) AS jaccard_est FROM (
+    SELECT c.doc_a, c.doc_b,
+           avg(CASE WHEN sa.v = sb.v THEN 1.0 ELSE 0.0 END) AS est
+    FROM cand c
+    JOIN sig sa ON sa.doc_id = c.doc_a
+    JOIN sig sb ON sb.doc_id = c.doc_b AND sb.pid = sa.pid
+    GROUP BY c.doc_a, c.doc_b
+  ) WHERE est >= {threshold}
+)"""
+
+
+SQL_MINHASH_PAIRS = (
+    "WITH " + _sql_minhash_ctes(0.5)
+    + "\nSELECT doc_a, doc_b, jaccard_est FROM mh_pairs")
+
+
+# Fuzzy-dedup oracle: the minhash pair CTEs above, then connected
+# components via a recursive reachability CTE (every edge node reaches
+# itself through any length-2 cycle, so min(anc) over the reachable set IS
+# the cluster minimum) and keep-first survivors — the SQL twin of
+# cluster_pairs_keep_first / components_losers_ds.
+SQL_NEARDUP_DEDUP = (
+    "WITH RECURSIVE " + _sql_minhash_ctes(0.5) + rf""",
+edges AS (
+  SELECT doc_a AS node, doc_b AS nbr FROM mh_pairs
+  UNION
+  SELECT doc_b AS node, doc_a AS nbr FROM mh_pairs
+),
+reach(node, anc) AS (
+  SELECT node, nbr FROM edges
+  UNION
+  SELECT r.node, e.nbr FROM reach r JOIN edges e ON r.anc = e.node
+),
+losers AS (
+  SELECT node FROM reach GROUP BY node HAVING min(anc) < node
+)
+SELECT doc_id FROM documents
+WHERE doc_id NOT IN (SELECT node FROM losers)""")
 
 
 def q_jaccard_pairs(sf_dir):
@@ -726,8 +856,8 @@ def q_lsh_ann(sf_dir):
 
 def q_neardup_dedup(sf_dir):
     """End-to-end fuzzy dedup: minhash pairs -> connected components ->
-    keep cluster-minimum doc_id (rows-only; the fuzzy analog of
-    dedup_exact's keep-first policy)."""
+    keep cluster-minimum doc_id (the fuzzy analog of dedup_exact's
+    keep-first policy; oracle = SQL_NEARDUP_DEDUP's recursive CTE)."""
     ds = _t(sf_dir, "documents", columns=["doc_id", "text"])
     return neardup.neardup_dedup_keep_first(ds, threshold=0.5)
 
@@ -917,8 +1047,11 @@ def oracle_sql() -> Dict[str, str]:
         "cosine_neardup": SQL_COSINE_NEARDUP,
         "jaccard_pairs": SQL_JACCARD_PAIRS,
         "simhash_pairs": SQL_SIMHASH_PAIRS,
-        # minhash/lsh_ann/chunk_documents[_words]/doc_metadata/
-        # extract_pages/rolling_fingerprint: non-SQL-expressible ->
-        # rows-only checks (goldens pinned in tests/test_neardup.py and
-        # tests/test_textproc.py instead)
+        "minhash_pairs": SQL_MINHASH_PAIRS,
+        "neardup_dedup": SQL_NEARDUP_DEDUP,
+        # lsh_ann/ivf_ann/cosine_neardup_lsh/chunk_documents[_words]/
+        # doc_metadata/media_features/extract_pages/rolling_fingerprint/
+        # json_repair: non-SQL-expressible -> rows-only checks (goldens
+        # pinned in tests/test_neardup.py and tests/test_textproc.py
+        # instead)
     }

@@ -39,7 +39,6 @@ state anywhere.
 
 from __future__ import annotations
 
-import zlib
 from typing import Dict, List
 
 import numpy as np
@@ -65,20 +64,30 @@ def _perm_params(k: int = MINHASH_PERMS, seed: int = 42):
 _PERM_A, _PERM_B = _perm_params()
 
 
+SHINGLE_BASE = 1000003  # polynomial base over unicode codepoints
+
+
 def char_shingles(text: str, n: int = 5) -> np.ndarray:
-    """crc32 of each n-char shingle of the whitespace-normalized text."""
+    """Distinct polynomial codepoint hashes of the n-char shingles of the
+    whitespace-normalized lowercased text: h = fold(h*B + codepoint),
+    wrapping mod 2^64 at each step.
+
+    The fold (vs the earlier crc32) buys two things: it VECTORIZES — one
+    utf-32 decode + n shifted multiply-adds over the whole string, no
+    per-shingle python loop — and the DuckDB oracle can recompute the
+    EXACT shingle set with HUGEINT modular arithmetic
+    (SQL_MINHASH_PAIRS in pipelines/queries.py), making the whole minhash
+    pipeline independently checkable end-to-end like simhash."""
     s = " ".join(text.split()).lower()
     if len(s) < n:
         s = s + " " * (n - len(s))
-    mv = memoryview(s.encode("utf-8"))
-    # n UTF-8 chars can span more bytes; shingle windows are taken over the
-    # normalized character string, encoded per window only when multi-byte
-    if len(mv) == len(s):  # pure-ASCII fast path: slice bytes, no re-encode
-        vals = {zlib.crc32(mv[i:i + n]) for i in range(len(s) - n + 1)}
-    else:
-        vals = {zlib.crc32(s[i:i + n].encode("utf-8"))
-                for i in range(len(s) - n + 1)}
-    return np.fromiter(vals, dtype=np.uint64, count=len(vals))
+    cps = np.frombuffer(s.encode("utf-32-le"), dtype=np.uint32) \
+        .astype(np.uint64)
+    m = len(s) - n + 1
+    h = np.zeros(m, dtype=np.uint64)
+    for k in range(n):
+        h = h * np.uint64(SHINGLE_BASE) + cps[k:k + m]
+    return np.unique(h)
 
 
 def minhash_signature(text: str) -> np.ndarray:

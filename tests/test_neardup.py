@@ -30,7 +30,11 @@ from recursive_pdf_extraction_and_rag_ray.stages.skewtools import (
 SF_DIR = "/root/testdata/sf0.001"
 
 GOLDEN = {
-    "minhash_pairs": (28, "86a80f4e9f064245", ["doc_a", "doc_b", "jaccard_est"]),
+    # regenerated 2026-08-17: shingle hash switched crc32 -> vectorized
+    # polynomial codepoint fold so the DuckDB oracle (SQL_MINHASH_PAIRS)
+    # can recompute the exact shingle set; minhash_pairs now ALSO has a
+    # full SQL oracle, the golden is belt+braces
+    "minhash_pairs": (28, "ada598bbde31dbea", ["doc_a", "doc_b", "jaccard_est"]),
     # regenerated 2026-08-17: token hash switched blake2b -> md5-big-endian
     # so the DuckDB oracle (SQL_SIMHASH_PAIRS) can recompute signatures;
     # simhash_pairs now ALSO has a full SQL oracle, the golden is belt+braces
