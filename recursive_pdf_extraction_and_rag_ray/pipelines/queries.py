@@ -299,6 +299,183 @@ def q_distinct_event_types(sf_dir):
 SQL_DISTINCT_EVENT_TYPES = "SELECT DISTINCT event_type FROM events"
 
 
+# --- temporal / interval / sketch family (stages/temporal.py, sketch.py) -----
+
+def q_asof_join(sf_dir):
+    """Keyed as-of join: each event picks the customer's most recent
+    order at event time (stages/temporal.py — one coarse shuffle, one
+    vectorized merge_asof per partition). Right-side (custkey, date)
+    ties are pre-reduced to max-orderkey so engine and oracle pick the
+    same row."""
+    from ..stages import temporal
+
+    events = _t(sf_dir, "events", columns=["event_id", "user_id", "ts"])
+    orders = _t(sf_dir, "orders", columns=[
+        "o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"]) \
+        .map_batches(lambda df: df.rename(columns={"o_custkey": "user_id"}),
+                     batch_format="pandas")
+    joined = temporal.asof_join(
+        events, orders, key="user_id", left_ts="ts",
+        right_ts="o_orderdate", left_cols=["event_id"],
+        right_cols=["o_orderkey", "o_totalprice"],
+        int_cols=["event_id", "o_orderkey"])
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "event_id": df["event_id"].astype("int64"),
+            "user_id": df["user_id"].astype("int64"),
+            "ts_s": df["_ts"].astype("datetime64[ns]").astype("int64")
+            // 1_000_000_000,
+            "asof_orderkey": df["o_orderkey"].astype("int64"),
+            "asof_totalprice": df["o_totalprice"].astype("float64"),
+        })
+
+    return joined.map_batches(finish, batch_format="pandas")
+
+
+SQL_ASOF_JOIN = """
+WITH r AS (
+  SELECT o_custkey AS user_id, o_orderdate,
+         max(o_orderkey) AS asof_orderkey,
+         arg_max(o_totalprice, o_orderkey) AS asof_totalprice
+  FROM orders GROUP BY 1, 2
+)
+SELECT e.event_id, e.user_id,
+       CAST(floor(epoch(e.ts)) AS BIGINT) AS ts_s,
+       r.asof_orderkey, r.asof_totalprice
+FROM events e ASOF JOIN r
+  ON e.user_id = r.user_id AND e.ts >= r.o_orderdate
+"""
+
+
+# overlapping price bands: band b covers [b*25k, b*25k + 50k) — every
+# order >= 25k matches exactly two bands, which is what distinguishes a
+# range join from a bucketing projection
+PRICE_BAND_STEP = 25000.0
+PRICE_BAND_WIDTH = 50000.0
+PRICE_BANDS = 21
+
+
+def q_range_join_bands(sf_dir):
+    """Broadcast interval join + grouped rollup: orders against
+    overlapping price bands (stages/temporal.py:range_join_broadcast —
+    interval table shipped once via ray.put, probed vectorized per
+    batch), then per-band count and exact integer-1e-4 revenue."""
+    from ..stages import temporal
+
+    lo = np.arange(PRICE_BANDS, dtype=np.float64) * PRICE_BAND_STEP
+    ds = _t(sf_dir, "orders", columns=["o_orderkey", "o_totalprice"])
+    joined = temporal.range_join_broadcast(
+        ds, value_col="o_totalprice", lo=lo, hi=lo + PRICE_BAND_WIDTH)
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.assign(price_e4=np.round(
+            df["o_totalprice"].to_numpy() * 10000.0).astype("int64"))
+        g = df.groupby("band", as_index=False).agg(
+            n_orders=("o_orderkey", "size"), sum_price_e4=("price_e4", "sum"))
+        return g.astype({"band": "int64", "n_orders": "int64",
+                         "sum_price_e4": "int64"})
+
+    return joined.map_batches(partial, batch_format="pandas") \
+        .groupby("band").aggregate(Sum("n_orders", alias_name="n_orders"),
+                                   Sum("sum_price_e4",
+                                       alias_name="sum_price_e4"))
+
+
+SQL_RANGE_JOIN_BANDS = f"""
+SELECT b.band, CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(sum(CAST(round(o.o_totalprice * 10000) AS BIGINT)) AS BIGINT)
+         AS sum_price_e4
+FROM orders o
+JOIN (SELECT unnest(generate_series(0, {PRICE_BANDS - 1})) AS band) b
+  ON o.o_totalprice >= b.band * {PRICE_BAND_STEP}
+ AND o.o_totalprice <  b.band * {PRICE_BAND_STEP} + {PRICE_BAND_WIDTH}
+GROUP BY b.band
+"""
+
+
+ROLL_WINDOW = 4  # current row + 3 preceding
+
+
+def q_rolling_user_value(sf_dir):
+    """Per-user trailing-window aggregate (SQL ROWS BETWEEN 3 PRECEDING
+    AND CURRENT ROW): rolling event-value sum and row count, value
+    carried as exact integer 1e-4 units (stages/temporal.py:
+    rolling_window — coarse shuffle + one pandas rolling kernel per
+    partition)."""
+    from ..stages import temporal
+
+    ds = _t(sf_dir, "events", columns=["event_id", "user_id", "ts", "value"])
+
+    def to_e4(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["value_e4"] = np.round(
+            df["value"].to_numpy() * 10000.0).astype("int64")
+        return df.drop(columns=["value"])
+
+    roll = temporal.rolling_window(
+        ds.map_batches(to_e4, batch_format="pandas"),
+        key="user_id", ts="ts", order_tiebreak="event_id",
+        value_col="value_e4", window=ROLL_WINDOW,
+        out_sum="roll_sum_e4", out_n="roll_n")
+    return roll.select_columns(["event_id", "user_id", "roll_sum_e4",
+                                "roll_n"])
+
+
+SQL_ROLLING_USER_VALUE = f"""
+SELECT event_id, user_id,
+       CAST(sum(CAST(round(value * 10000) AS BIGINT)) OVER w AS BIGINT)
+         AS roll_sum_e4,
+       CAST(count(*) OVER w AS BIGINT) AS roll_n
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN {ROLL_WINDOW - 1} PRECEDING AND CURRENT ROW)
+"""
+
+
+def q_top_tokens(sf_dir):
+    """Exact corpus heavy hitters: top-20 most frequent lowercased
+    whitespace tokens, ties broken by token (stages/sketch.py —
+    per-batch value_counts partials, vocabulary-bounded combine)."""
+    from ..stages import sketch
+
+    return sketch.heavy_hitters_tokens(
+        _t(sf_dir, "documents", columns=["text"]), k=20)
+
+
+SQL_TOP_TOKENS = r"""
+SELECT token, CAST(count(*) AS BIGINT) AS n FROM (
+  SELECT unnest(list_filter(regexp_split_to_array(lower(text), '\s+'),
+                            x -> x <> '')) AS token
+  FROM documents)
+GROUP BY token
+ORDER BY n DESC, token
+LIMIT 20
+"""
+
+
+QUANTILE_PS = [0.25, 0.5, 0.75, 0.9, 0.99]
+
+
+def q_nchars_quantiles(sf_dir):
+    """Exact distributed quantiles of doc length via a value histogram
+    (stages/sketch.py:exact_quantiles — quantile_disc semantics: value
+    at 1-based sorted rank ceil(p*n))."""
+    from ..stages import sketch
+
+    return sketch.exact_quantiles(
+        _t(sf_dir, "documents", columns=["n_chars"]), "n_chars",
+        QUANTILE_PS)
+
+
+SQL_NCHARS_QUANTILES = f"""
+WITH q AS (SELECT quantile_disc(n_chars, {QUANTILE_PS}) AS v
+           FROM documents)
+SELECT CAST(unnest({QUANTILE_PS}) AS DOUBLE) AS p, unnest(v) AS n_chars
+FROM q
+"""
+
+
 def q_status_counts(sf_dir):
     """Status-counter rollup (SURVEY G2: progress ledger counters)."""
     return _t(sf_dir, "orders", columns=["o_orderstatus"]) \
@@ -995,6 +1172,11 @@ def queries() -> Dict[str, Callable]:
         "status_counts": q_status_counts,
         "events_by_user": q_events_by_user,
         "events_hourly": q_events_hourly,
+        "asof_join": q_asof_join,
+        "range_join_bands": q_range_join_bands,
+        "rolling_user_value": q_rolling_user_value,
+        "top_tokens": q_top_tokens,
+        "nchars_quantiles": q_nchars_quantiles,
         "dedup_exact": q_dedup_exact,
         "fingerprint": q_fingerprint,
         "token_count": q_token_count,
@@ -1035,6 +1217,11 @@ def oracle_sql() -> Dict[str, str]:
         "status_counts": SQL_STATUS_COUNTS,
         "events_by_user": SQL_EVENTS_BY_USER,
         "events_hourly": SQL_EVENTS_HOURLY,
+        "asof_join": SQL_ASOF_JOIN,
+        "range_join_bands": SQL_RANGE_JOIN_BANDS,
+        "rolling_user_value": SQL_ROLLING_USER_VALUE,
+        "top_tokens": SQL_TOP_TOKENS,
+        "nchars_quantiles": SQL_NCHARS_QUANTILES,
         "dedup_exact": SQL_DEDUP_EXACT,
         "fingerprint": SQL_FINGERPRINT,
         "token_count": SQL_TOKEN_COUNT,

@@ -1,0 +1,205 @@
+"""Temporal / interval operator family: keyed as-of join, broadcast range
+(interval) join, and per-key rolling-window aggregates.
+
+The reference has no temporal operators at all (its closest artifact is
+the per-run billing timestamp in src/services/RAG/billing.py); these are
+the standard event-stream shapes a training-data pipeline meets as soon
+as logs/metadata carry time (attach the feature row in force at event
+time; band a value into overlapping ranges; trailing-window stats).
+
+Ray-Data shapes (all three reuse the repo's coarse-key discipline —
+see pipelines/queries.py:q_events_sessionize for the rationale):
+
+- **as-of join**: both sides are shuffled ONCE by hash(key) mod
+  ``coarse`` (a pair of map_batches + one groupby — no per-key groups,
+  no driver state), then each coarse partition runs one vectorized
+  ``pd.merge_asof`` over its sorted rows. Linear per partition;
+  partitioning assumption: one coarse partition's rows fit a task
+  (raise ``coarse`` on big clusters; salt a pathologically hot key by
+  splitting its LEFT rows — as-of is left-row-independent).
+- **range join**: the interval table is the SMALL side (bands, SLAs,
+  calendars) — ship it once via ``ray.put`` and probe per batch with a
+  vectorized lo/hi mask; never a shuffle. Partitioning assumption:
+  intervals fit one object (thousands, not millions).
+- **rolling window**: same coarse shuffle, then per-partition
+  ``groupby(key).rolling`` — one pandas kernel per partition, not per
+  key.
+
+Money/value columns are carried as integer 1e-4 units (the repo-wide
+float-sum parity rule, see q_agg_rollup) so rolling/band sums are exact
+and association-order independent.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional
+
+import numpy as np
+import pandas as pd
+import ray
+import ray.data
+
+TEMPORAL_COARSE_GROUPS = 256
+
+
+def _knuth_pkey(keys: np.ndarray, coarse: int) -> np.ndarray:
+    return (keys.astype("int64") * 2654435761 % (1 << 32)) % coarse
+
+
+def asof_join(left: "ray.data.Dataset", right: "ray.data.Dataset", *,
+              key: str, left_ts: str, right_ts: str,
+              left_cols: List[str], right_cols: List[str],
+              int_cols: Optional[List[str]] = None,
+              coarse: int = TEMPORAL_COARSE_GROUPS) -> "ray.data.Dataset":
+    """For every left row, attach the single right row with the greatest
+    ``right_ts`` <= ``left_ts`` for the same ``key`` (inner semantics:
+    left rows with no earlier right row are dropped) — DuckDB's
+    ``ASOF JOIN`` / pandas ``merge_asof(direction='backward')``.
+
+    Ties on (key, right_ts) are resolved deterministically BEFORE the
+    join: the right side is reduced to one row per (key, ts), keeping the
+    row with the greatest first ``right_cols`` value (callers put a
+    unique id column first) — mirroring an arg_max oracle. This also
+    shrinks the shuffled right side to at most one row per key-timestamp.
+
+    Both sides cross the wire exactly once, tagged with a side marker and
+    unified into one dataset (Ray groupby takes one input); each coarse
+    partition then runs a single vectorized merge_asof. Payload columns
+    ride the unified schema as float64 (the other side's slots are NaN —
+    one concrete dtype, no per-block schema drift); columns listed in
+    ``int_cols`` are cast back to int64 on output (exact below 2^53).
+    Output columns: [key, '_ts'] + left_cols + right_cols.
+    """
+    int_back = [c for c in (int_cols or []) if c in left_cols + right_cols]
+
+    def tag(df: pd.DataFrame, ts_col: str, own: List[str],
+            other: List[str], side: int) -> pd.DataFrame:
+        out = pd.DataFrame({
+            key: df[key].to_numpy().astype("int64"),
+            "_ts": pd.to_datetime(df[ts_col]).astype("datetime64[ns]"),
+        })
+        for c in own:
+            out[c] = df[c].to_numpy().astype("float64")
+        for c in other:
+            out[c] = np.nan
+        out["_side"] = np.int8(side)
+        out["_pkey"] = _knuth_pkey(out[key].to_numpy(), coarse)
+        return out[[key, "_ts"] + left_cols + right_cols
+                   + ["_side", "_pkey"]]
+
+    def tag_right(df: pd.DataFrame) -> pd.DataFrame:
+        # deterministic tie-kill: keep max first-right-col per (key, ts).
+        # Per-batch here (cheap shrink); finished per partition below.
+        df = df.sort_values([key, right_ts, right_cols[0]]) \
+            .groupby([key, right_ts], as_index=False, sort=False).last()
+        return tag(df, right_ts, right_cols, left_cols, 1)
+
+    both = left.map_batches(lambda df: tag(df, left_ts, left_cols,
+                                           right_cols, 0),
+                            batch_format="pandas") \
+        .union(right.map_batches(tag_right, batch_format="pandas"))
+
+    out_cols = [key, "_ts"] + left_cols + right_cols
+
+    def finish_dtypes(m: pd.DataFrame) -> pd.DataFrame:
+        for c in int_back:
+            m[c] = m[c].astype("int64")
+        return m
+
+    def merge_partition(g: pd.DataFrame) -> pd.DataFrame:
+        l = g[g["_side"] == 0]
+        r = g[g["_side"] == 1]
+        if not len(l) or not len(r):
+            empty = pd.DataFrame({key: pd.Series([], dtype="int64"),
+                                  "_ts": pd.Series([],
+                                                   dtype="datetime64[ns]"),
+                                  **{c: pd.Series([], dtype="float64")
+                                     for c in left_cols + right_cols}})
+            return finish_dtypes(empty)[out_cols]
+        # cross-batch duplicates of the same (key, ts) collapse here
+        r = r.sort_values([key, "_ts", right_cols[0]], kind="mergesort") \
+            .groupby([key, "_ts"], as_index=False, sort=False).last()
+        m = pd.merge_asof(
+            l[[key, "_ts"] + left_cols].sort_values("_ts",
+                                                    kind="mergesort"),
+            r[[key, "_ts"] + right_cols].sort_values("_ts",
+                                                     kind="mergesort"),
+            on="_ts", by=key, direction="backward")
+        m = m.dropna(subset=[right_cols[0]]).reset_index(drop=True)
+        return finish_dtypes(m)[out_cols]
+
+    return both.groupby("_pkey").map_groups(merge_partition,
+                                            batch_format="pandas")
+
+
+def range_join_broadcast(ds: "ray.data.Dataset", *, value_col: str,
+                         lo: np.ndarray, hi: np.ndarray,
+                         band_ids: Optional[np.ndarray] = None):
+    """Non-equi (interval) join of a big table against a SMALL interval
+    table: row matches band b iff lo[b] <= value < hi[b]; intervals may
+    OVERLAP (a row can match several bands — the part a bucketing
+    projection can't express). Returns (original columns + ``band``),
+    one output row per (row, matching band).
+
+    The interval table is broadcast once (``ray.put``) and probed per
+    batch with one vectorized comparison against the batch's value
+    vector — no shuffle, no driver loop. For interval tables too big to
+    broadcast, sort the breakpoints and probe with searchsorted per
+    batch (same operator, log-time probe); a shuffle join is never
+    needed unless intervals outnumber rows.
+    """
+    ids = band_ids if band_ids is not None \
+        else np.arange(len(lo), dtype=np.int64)
+    ref = ray.put((np.asarray(lo, dtype=np.float64),
+                   np.asarray(hi, dtype=np.float64),
+                   np.asarray(ids, dtype=np.int64)))
+
+    def probe(df: pd.DataFrame) -> pd.DataFrame:
+        blo, bhi, bid = ray.get(ref)
+        v = df[value_col].to_numpy(dtype=np.float64)
+        m = (v[:, None] >= blo[None, :]) & (v[:, None] < bhi[None, :])
+        ri, bi = np.nonzero(m)
+        out = df.iloc[ri].reset_index(drop=True)
+        out["band"] = bid[bi]
+        return out
+
+    return ds.map_batches(probe, batch_format="pandas")
+
+
+def rolling_window(events: "ray.data.Dataset", *, key: str, ts: str,
+                   order_tiebreak: str, value_col: str, window: int,
+                   out_sum: str = "roll_sum", out_n: str = "roll_n",
+                   coarse: int = TEMPORAL_COARSE_GROUPS):
+    """Per-key trailing-window aggregate: for each row (ordered by
+    ``ts``, then ``order_tiebreak``) the sum and count of ``value_col``
+    over the last ``window`` rows of the same key including the current
+    one — SQL ``ROWS BETWEEN window-1 PRECEDING AND CURRENT ROW``.
+
+    ``value_col`` must already be integral (convert floats to 1e-4 units
+    first) so window sums are exact. One coarse shuffle, then a single
+    ``groupby(key).rolling`` pandas kernel per partition.
+    """
+    def add_pkey(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["_pkey"] = _knuth_pkey(df[key].to_numpy(), coarse)
+        return df
+
+    keep = [c for c in [key, ts, order_tiebreak, value_col] if c]
+
+    def roll(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([key, ts, order_tiebreak], kind="mergesort")
+        r = g.groupby(key, sort=False)[value_col] \
+            .rolling(window, min_periods=1)
+        # rolling returns float64; values are ints < 2^53 so the cast
+        # back is exact
+        g = g.assign(**{
+            out_sum: r.sum().reset_index(level=0, drop=True)
+            .astype("int64"),
+            out_n: r.count().reset_index(level=0, drop=True)
+            .astype("int64"),
+        })
+        return g[keep + [out_sum, out_n]]
+
+    return events.select_columns(keep).map_batches(
+        add_pkey, batch_format="pandas") \
+        .groupby("_pkey").map_groups(roll, batch_format="pandas")
