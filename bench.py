@@ -41,6 +41,8 @@ BENCH_QUERIES = [
     "knn_bruteforce", "filtered_knn", "cosine_neardup",
     "minhash_pairs", "simhash_pairs", "jaccard_pairs", "ivf_ann",
     "chunk_documents", "chunk_documents_words",
+    "asof_join", "range_join_bands", "rolling_user_value",
+    "top_tokens", "nchars_quantiles",
 ]
 
 

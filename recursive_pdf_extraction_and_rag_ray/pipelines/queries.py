@@ -318,7 +318,8 @@ def q_asof_join(sf_dir):
         events, orders, key="user_id", left_ts="ts",
         right_ts="o_orderdate", left_cols=["event_id"],
         right_cols=["o_orderkey", "o_totalprice"],
-        int_cols=["event_id", "o_orderkey"])
+        int_cols=["event_id", "o_orderkey"],
+        pre_blocks=temporal.TEMPORAL_PRE_BLOCKS_DOC)
 
     def finish(df: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame({
@@ -417,7 +418,8 @@ def q_rolling_user_value(sf_dir):
         ds.map_batches(to_e4, batch_format="pandas"),
         key="user_id", ts="ts", order_tiebreak="event_id",
         value_col="value_e4", window=ROLL_WINDOW,
-        out_sum="roll_sum_e4", out_n="roll_n")
+        out_sum="roll_sum_e4", out_n="roll_n",
+        pre_blocks=temporal.TEMPORAL_PRE_BLOCKS_DOC)
     return roll.select_columns(["event_id", "user_id", "roll_sum_e4",
                                 "roll_n"])
 
