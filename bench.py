@@ -43,6 +43,8 @@ BENCH_QUERIES = [
     "chunk_documents", "chunk_documents_words",
     "asof_join", "range_join_bands", "rolling_user_value",
     "top_tokens", "nchars_quantiles",
+    "events_window", "value_quantiles_by_type", "anti_join_customers",
+    "stratified_sample",
 ]
 
 

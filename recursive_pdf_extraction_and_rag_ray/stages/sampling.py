@@ -1,0 +1,57 @@
+"""Deterministic (hash-based) row sampling — uniform and stratified.
+
+Training-data pipelines subsample to a target mix (per-language,
+per-source, per-event-type quotas); doing it with a seeded RNG makes
+the output depend on partitioning and run order. Hashing a stable key
+instead gives a sample that is reproducible across runs, partitionings
+and engines — the same rule is expressible in SQL, so the sample is
+oracle-checkable.
+
+Rule: keep a row iff ``(key * 2654435761) % 2^32 % 10000 < rate_e4``
+(Knuth multiplicative hash; rate in 1e-4 units). Assumes ``key <
+2^32`` so the product stays exact in int64 on both the numpy and SQL
+sides — for wider id spaces fold the key first (``key % 2^32``).
+Embarrassingly parallel: pure per-batch filter, no shuffle, no state.
+"""
+
+from __future__ import annotations
+
+from typing import Dict
+
+import numpy as np
+import pandas as pd
+
+KNUTH = 2654435761
+
+
+def _keep_mask(keys: np.ndarray, rate_e4: np.ndarray) -> np.ndarray:
+    h = (keys.astype("int64") * KNUTH) % (1 << 32) % 10000
+    return h < rate_e4
+
+
+def sample_uniform(ds, *, key_col: str, rate: float):
+    """Keep ~rate of rows, chosen by key hash (deterministic)."""
+    rate_e4 = int(round(rate * 10000))
+
+    def f(df: pd.DataFrame) -> pd.DataFrame:
+        m = _keep_mask(df[key_col].to_numpy(), np.int64(rate_e4))
+        return df[m].reset_index(drop=True)
+
+    return ds.map_batches(f, batch_format="pandas")
+
+
+def sample_stratified(ds, *, key_col: str, group_col: str,
+                      rates: Dict[str, float], default_rate: float = 0.0):
+    """Per-group sampling rates (e.g. per event type / language /
+    source). ``rates`` is a small dict shipped inside the task closure
+    (it serializes with the function — no per-batch fetch); groups
+    absent from it fall back to ``default_rate``."""
+    rate_e4 = {g: int(round(r * 10000)) for g, r in rates.items()}
+    dflt = int(round(default_rate * 10000))
+
+    def f(df: pd.DataFrame) -> pd.DataFrame:
+        r = df[group_col].map(rate_e4).fillna(dflt).to_numpy(dtype="int64")
+        m = _keep_mask(df[key_col].to_numpy(), r)
+        return df[m].reset_index(drop=True)
+
+    return ds.map_batches(f, batch_format="pandas")

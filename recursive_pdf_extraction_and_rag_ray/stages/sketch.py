@@ -106,6 +106,61 @@ def heavy_hitters_tokens(docs: "ray.data.Dataset", *, k: int = 20,
     return out.reset_index(drop=True).astype({"n": "int64"})
 
 
+def exact_quantiles_grouped(ds: "ray.data.Dataset", *, group_col: str,
+                            col: str, ps: Sequence[float],
+                            distributed: bool = False) -> pd.DataFrame:
+    """Per-group exact discrete quantiles (``quantile_disc`` semantics:
+    value at 1-based sorted rank ceil(p*n) within the group), same
+    value-histogram shape as :func:`exact_quantiles` but keyed: each
+    batch ships one (group, value, n) row per distinct pair, the
+    combine is bounded by sum of per-group value cardinalities, and the
+    final rank walk is one vectorized pass over the sorted histogram.
+    Returns columns (group_col, p, {col})."""
+    def partials(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby([group_col, col]).size().reset_index(name="n")
+        return g.astype({col: "int64", "n": "int64"})
+
+    parts = ds.select_columns([group_col, col]).map_batches(
+        partials, batch_format="pandas")
+    if distributed:
+        def with_pk(df: pd.DataFrame) -> pd.DataFrame:
+            df = df.copy()
+            h = pd.util.hash_array(df[group_col].to_numpy())
+            df["_pk"] = (h % SKETCH_REDUCE_PARTITIONS).astype("int64")
+            return df
+
+        def reduce_partition(df: pd.DataFrame) -> pd.DataFrame:
+            return df.drop(columns=["_pk"]).groupby(
+                [group_col, col], as_index=False)["n"].sum()
+
+        hist = pd.concat(
+            list(parts.map_batches(with_pk, batch_format="pandas")
+                 .groupby("_pk").map_groups(reduce_partition,
+                                            batch_format="pandas")
+                 .iter_batches(batch_format="pandas", batch_size=65536)),
+            ignore_index=True)
+    else:
+        frames = list(parts.iter_batches(batch_format="pandas",
+                                         batch_size=65536))
+        hist = pd.concat(frames, ignore_index=True).groupby(
+            [group_col, col], as_index=False)["n"].sum()
+
+    hist = hist.sort_values([group_col, col],
+                            kind="mergesort").reset_index(drop=True)
+    out = []
+    for gname, h in hist.groupby(group_col, sort=True):
+        cum = h["n"].cumsum().to_numpy()
+        n = int(cum[-1])
+        vals = h[col].to_numpy()
+        for p in ps:
+            rank = max(1, int(np.ceil(p * n)))
+            out.append((gname, float(p),
+                        int(vals[int(np.searchsorted(cum, rank,
+                                                     side="left"))])))
+    return pd.DataFrame(out, columns=[group_col, "p", col]).astype(
+        {"p": "float64", col: "int64"})
+
+
 def exact_quantiles(ds: "ray.data.Dataset", col: str,
                     ps: Sequence[float], *,
                     distributed: bool = False) -> pd.DataFrame:
