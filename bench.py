@@ -45,6 +45,7 @@ BENCH_QUERIES = [
     "top_tokens", "nchars_quantiles",
     "events_window", "value_quantiles_by_type", "anti_join_customers",
     "stratified_sample",
+    "gopher_repetition", "pii_redact", "orders_enriched", "contamination",
 ]
 
 

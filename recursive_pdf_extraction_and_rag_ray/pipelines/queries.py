@@ -1290,6 +1290,193 @@ def q_rolling_fingerprint(sf_dir):
                           batch_format="pandas")
 
 
+# --- training-corpus curation (stages/corpusfilters.py) ----------------------
+
+def q_gopher_repetition(sf_dir):
+    """Word-repetition profile per document (Gopher-style duplicate /
+    top-n-gram fractions; stages/corpusfilters.py:repetition_stats —
+    one explode + hash aggregates per batch, no shuffle)."""
+    from ..stages import corpusfilters
+    return corpusfilters.repetition_stats(
+        _t(sf_dir, "documents", columns=["doc_id", "text"]))
+
+
+SQL_GOPHER_REPETITION = r"""
+WITH w AS (
+  SELECT doc_id, regexp_extract_all(text, '\S+') AS ws FROM documents),
+tok AS (
+  SELECT doc_id, unnest(ws) AS wd, generate_subscripts(ws, 1) AS pos FROM w),
+wc AS (
+  SELECT doc_id, wd, count(*) AS n, len(wd) * count(*) AS chars
+  FROM tok GROUP BY doc_id, wd),
+agg AS (
+  SELECT doc_id, CAST(sum(n) AS BIGINT) AS n_words,
+         CAST(count(*) AS BIGINT) AS n_distinct,
+         CAST(sum(chars) AS BIGINT) AS tot_chars
+  FROM wc GROUP BY doc_id),
+topw AS (
+  SELECT doc_id, chars FROM (
+    SELECT doc_id, chars,
+           row_number() OVER (PARTITION BY doc_id
+                              ORDER BY n DESC, wd ASC) AS rn
+    FROM wc) WHERE rn = 1),
+bg AS (
+  SELECT a.doc_id, a.wd || ' ' || b.wd AS bgr
+  FROM tok a JOIN tok b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1),
+bc AS (
+  SELECT doc_id, bgr, count(*) AS n, len(bgr) * count(*) AS chars
+  FROM bg GROUP BY doc_id, bgr),
+bagg AS (
+  SELECT doc_id, CAST(sum(chars) AS BIGINT) AS btot FROM bc GROUP BY doc_id),
+topb AS (
+  SELECT doc_id, chars FROM (
+    SELECT doc_id, chars,
+           row_number() OVER (PARTITION BY doc_id
+                              ORDER BY n DESC, bgr ASC) AS rn
+    FROM bc) WHERE rn = 1)
+SELECT agg.doc_id, agg.n_words,
+       CAST(floor((agg.n_words - agg.n_distinct) * 1000000.0
+                  / agg.n_words + 0.5) AS BIGINT) AS dup_word_ppm,
+       CAST(floor(topw.chars * 1000000.0 / agg.tot_chars + 0.5)
+            AS BIGINT) AS top_word_char_ppm,
+       CAST(coalesce(floor(topb.chars * 1000000.0 / bagg.btot + 0.5), 0)
+            AS BIGINT) AS top_bigram_char_ppm
+FROM agg JOIN topw USING (doc_id)
+LEFT JOIN bagg USING (doc_id) LEFT JOIN topb USING (doc_id)
+"""
+
+
+def q_c4_quality(sf_dir):
+    """C4/Gopher heuristic quality flags per document
+    (stages/corpusfilters.py:c4_quality; vectorized str kernels)."""
+    from ..stages import corpusfilters
+    return corpusfilters.c4_quality(
+        _t(sf_dir, "documents", columns=["doc_id", "text"]))
+
+
+SQL_C4_QUALITY = r"""
+WITH b AS (
+  SELECT doc_id,
+         CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_words,
+         CAST(len(regexp_extract_all(text, '\S')) AS BIGINT) AS word_chars,
+         contains(text, '{') AS has_curly,
+         contains(lower(text), 'lorem ipsum') AS has_lorem
+  FROM documents)
+SELECT doc_id, n_words,
+       CASE WHEN n_words = 0 THEN 0
+            ELSE CAST(floor(word_chars * 100.0 / n_words + 0.5) AS BIGINT)
+       END AS mean_word_len_e2,
+       has_curly, has_lorem,
+       n_words >= 50 AS min_words_ok,
+       CASE WHEN n_words = 0 THEN FALSE
+            ELSE CAST(floor(word_chars * 100.0 / n_words + 0.5) AS BIGINT)
+                 BETWEEN 300 AND 1000 END AS word_len_ok
+FROM b
+"""
+
+
+def q_pii_redact(sf_dir):
+    """PII counting + masking (stages/corpusfilters.py:pii_redact).
+    Patterns use explicit ASCII classes so Python re and DuckDB RE2
+    produce byte-identical redacted text; applied email -> phone -> ip
+    on both sides. (The synthetic corpus contains no PII, so this
+    checks the no-op path exactly; planted-PII substance is pinned in
+    tests/test_corpusfilters.py.)"""
+    from ..stages import corpusfilters
+    return corpusfilters.pii_redact(
+        _t(sf_dir, "documents", columns=["doc_id", "text"]))
+
+
+SQL_PII_REDACT = r"""
+SELECT doc_id,
+  CAST(len(regexp_extract_all(text,
+       '[A-Za-z0-9_.+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT)
+    AS n_email,
+  CAST(len(regexp_extract_all(regexp_replace(text,
+       '[A-Za-z0-9_.+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+       '\b[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}\b')) AS BIGINT) AS n_phone,
+  CAST(len(regexp_extract_all(regexp_replace(regexp_replace(text,
+       '[A-Za-z0-9_.+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+       '\b[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}\b', '<PHONE>', 'g'),
+       '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b')) AS BIGINT)
+    AS n_ip,
+  regexp_replace(regexp_replace(regexp_replace(text,
+       '[A-Za-z0-9_.+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+       '\b[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}\b', '<PHONE>', 'g'),
+       '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b', '<IP>', 'g')
+    AS text_redacted
+FROM documents
+"""
+
+
+def q_train_split(sf_dir):
+    """Deterministic train/val/test assignment by doc_id hash
+    (stages/corpusfilters.py:split_assign; same Knuth rule as the
+    sampling family — reproducible across engines and partitionings)."""
+    from ..stages import corpusfilters
+    return corpusfilters.split_assign(
+        _t(sf_dir, "documents", columns=["doc_id"]))
+
+
+SQL_TRAIN_SPLIT = """
+SELECT doc_id,
+       CASE WHEN (doc_id * 2654435761) % 4294967296 % 100 < 80 THEN 'train'
+            WHEN (doc_id * 2654435761) % 4294967296 % 100 < 90 THEN 'val'
+            ELSE 'test' END AS split
+FROM documents
+"""
+
+
+def q_orders_enriched(sf_dir):
+    """General distributed equi inner join returning both sides' columns
+    (stages/joins.py:inner_join — one hash(key) shuffle, per-partition
+    vectorized merge, no broadcast): orders enriched with customer name
+    and segment; money as exact integer cents."""
+    from ..stages import joins, temporal
+
+    orders = _t(sf_dir, "orders",
+                columns=["o_orderkey", "o_custkey", "o_totalprice"])
+
+    def to_cents(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["o_totalprice_c"] = np.round(
+            df["o_totalprice"].to_numpy() * 100.0).astype("int64")
+        return df.drop(columns=["o_totalprice"])
+
+    cust = _t(sf_dir, "customer",
+              columns=["c_custkey", "c_name", "c_mktsegment"]) \
+        .map_batches(lambda df: df.rename(columns={"c_custkey": "o_custkey"}),
+                     batch_format="pandas")
+    return joins.inner_join(
+        orders.map_batches(to_cents, batch_format="pandas"), cust,
+        on="o_custkey", pre_blocks=temporal.TEMPORAL_PRE_BLOCKS_DOC)
+
+
+SQL_ORDERS_ENRICHED = """
+SELECT o_orderkey, o_custkey,
+       CAST(round(o_totalprice * 100) AS BIGINT) AS o_totalprice_c,
+       c_name, c_mktsegment
+FROM orders JOIN customer ON o_custkey = c_custkey
+"""
+
+
+def q_contamination(sf_dir):
+    """Benchmark-contamination marking: documents sharing an 8-word
+    shingle with a held-out set (here: every 97th doc stands in for the
+    benchmark — exact dups and heavy-overlap docs get flagged too).
+    Shingle set built once, broadcast via ray.put, probed by binary
+    search per doc (stages/corpusfilters.py:mark_contamination).
+    Rows-only: shingle hashing is not SQL-expressible; planted-overlap
+    semantics pinned in tests/test_corpusfilters.py."""
+    from ..stages import corpusfilters
+
+    docs = _t(sf_dir, "documents", columns=["doc_id", "text"])
+    bench = docs.map_batches(
+        lambda df: df[df["doc_id"] % 97 == 0].reset_index(drop=True),
+        batch_format="pandas").to_pandas()
+    return corpusfilters.mark_contamination(docs, list(bench["text"]))
+
+
 def queries() -> Dict[str, Callable]:
     return {
         "agg_rollup": q_agg_rollup,
@@ -1312,6 +1499,12 @@ def queries() -> Dict[str, Callable]:
         "value_quantiles_by_type": q_value_quantiles_by_type,
         "anti_join_customers": q_anti_join_customers,
         "stratified_sample": q_stratified_sample,
+        "gopher_repetition": q_gopher_repetition,
+        "c4_quality": q_c4_quality,
+        "pii_redact": q_pii_redact,
+        "train_split": q_train_split,
+        "orders_enriched": q_orders_enriched,
+        "contamination": q_contamination,
         "dedup_exact": q_dedup_exact,
         "fingerprint": q_fingerprint,
         "token_count": q_token_count,
@@ -1361,6 +1554,12 @@ def oracle_sql() -> Dict[str, str]:
         "value_quantiles_by_type": SQL_VALUE_QUANTILES_BY_TYPE,
         "anti_join_customers": SQL_ANTI_JOIN_CUSTOMERS,
         "stratified_sample": SQL_STRATIFIED_SAMPLE,
+        "gopher_repetition": SQL_GOPHER_REPETITION,
+        "c4_quality": SQL_C4_QUALITY,
+        "pii_redact": SQL_PII_REDACT,
+        "train_split": SQL_TRAIN_SPLIT,
+        "orders_enriched": SQL_ORDERS_ENRICHED,
+        # contamination: shingle hashing not SQL-expressible -> rows-only
         "dedup_exact": SQL_DEDUP_EXACT,
         "fingerprint": SQL_FINGERPRINT,
         "token_count": SQL_TOKEN_COUNT,

@@ -42,6 +42,24 @@ def _dummy_column(dtype, n: int):
     return np.array([""] * n, dtype=object)
 
 
+def _pd_dtype_map(sch) -> dict:
+    """Pandas dtype per column from a Dataset schema (arrow- or
+    pandas-backed) — used to restore exact dtypes after the groupby
+    block round-trip, which can degrade datetimes to object."""
+    out = {}
+    for name, t in zip(sch.names, sch.types):
+        try:
+            if "timestamp" in str(t) or "datetime64" in str(t):
+                out[name] = "datetime64[ns]"
+            elif hasattr(t, "to_pandas_dtype"):     # arrow-backed schema
+                out[name] = np.dtype(t.to_pandas_dtype())
+            else:                                   # pandas-block schema
+                out[name] = np.dtype(t)
+        except (NotImplementedError, TypeError):
+            out[name] = "O"
+    return out
+
+
 def semi_anti_join(left, right, *, on: str, anti: bool,
                    coarse: int = TEMPORAL_COARSE_GROUPS,
                    pre_blocks: Optional[int] = None):
@@ -51,17 +69,7 @@ def semi_anti_join(left, right, *, on: str, anti: bool,
     upstream, functions/textproc.py:stable_hash64)."""
     sch = left.schema()
     left_cols = list(sch.names)
-    pd_dtypes = {}
-    for name, t in zip(sch.names, sch.types):
-        try:
-            if "timestamp" in str(t) or "datetime64" in str(t):
-                pd_dtypes[name] = "datetime64[ns]"
-            elif hasattr(t, "to_pandas_dtype"):     # arrow-backed schema
-                pd_dtypes[name] = np.dtype(t.to_pandas_dtype())
-            else:                                   # pandas-block schema
-                pd_dtypes[name] = np.dtype(t)
-        except (NotImplementedError, TypeError):
-            pd_dtypes[name] = "O"
+    pd_dtypes = _pd_dtype_map(sch)
 
     def tag_left(df: pd.DataFrame) -> pd.DataFrame:
         df = df.copy()
@@ -106,3 +114,67 @@ def semi_join(left, right, *, on: str, **kw):
 
 def anti_join(left, right, *, on: str, **kw):
     return semi_anti_join(left, right, on=on, anti=True, **kw)
+
+
+def inner_join(left, right, *, on: str,
+               right_cols: Optional[list] = None,
+               coarse: int = TEMPORAL_COARSE_GROUPS,
+               pre_blocks: Optional[int] = None):
+    """Distributed equi inner join returning left columns + right
+    columns: both sides tagged and hash-partitioned ONCE by
+    ``hash(key) % coarse`` (same Knuth scheme as the semi/anti path and
+    the temporal joins — one shuffle, no driver state, no broadcast),
+    then one vectorized ``pandas.merge`` per partition. Duplicate right
+    keys multiply rows per standard join semantics.
+
+    Column names (apart from ``on``) must be disjoint — rename upstream.
+    Key must be int64. For a SMALL right side prefer the broadcast probe
+    (pipelines/queries.py:q_broadcast_join_agg shape): it skips the
+    shuffle entirely."""
+    lsch, rsch = left.schema(), right.schema()
+    left_cols = list(lsch.names)
+    right_cols = right_cols or [c for c in rsch.names if c != on]
+    clash = (set(left_cols) & set(right_cols)) - {on}
+    if clash:
+        raise ValueError(f"overlapping non-key columns: {sorted(clash)}")
+    l_dt = _pd_dtype_map(lsch)
+    r_dt = {c: t for c, t in _pd_dtype_map(rsch).items() if c in right_cols}
+    all_cols = left_cols + right_cols
+    all_dt = {**l_dt, **r_dt}
+
+    def tag_left(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        for c in right_cols:
+            df[c] = _dummy_column(all_dt[c], len(df))
+        df["_side"] = np.int8(0)
+        return df[all_cols + ["_side"]]
+
+    def tag_right(df: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame(index=pd.RangeIndex(len(df)))
+        for c in all_cols:
+            if c == on or c in right_cols:
+                out[c] = df[c].to_numpy()
+            else:
+                out[c] = _dummy_column(all_dt[c], len(df))
+        out["_side"] = np.int8(1)
+        return out
+
+    def add_pkey(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["_pkey"] = _knuth_pkey(df[on].to_numpy().astype("int64"), coarse)
+        return df
+
+    both = left.map_batches(tag_left, batch_format="pandas") \
+        .union(right.select_columns([on] + right_cols).map_batches(
+            tag_right, batch_format="pandas")) \
+        .map_batches(add_pkey, batch_format="pandas")
+    if pre_blocks:
+        both = both.repartition(pre_blocks)
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        l = g.loc[g["_side"] == 0, left_cols]
+        r = g.loc[g["_side"] == 1, [on] + right_cols]
+        out = l.merge(r, on=on, how="inner", sort=False)
+        return out[all_cols].reset_index(drop=True).astype(all_dt)
+
+    return both.groupby("_pkey").map_groups(merge, batch_format="pandas")
