@@ -46,6 +46,7 @@ BENCH_QUERIES = [
     "events_window", "value_quantiles_by_type", "anti_join_customers",
     "stratified_sample",
     "gopher_repetition", "pii_redact", "orders_enriched", "contamination",
+    "unigram_nll", "customer_activity",
 ]
 
 

@@ -1290,6 +1290,140 @@ def q_rolling_fingerprint(sf_dir):
                           batch_format="pandas")
 
 
+# --- profiling / summary statistics (stages/profile.py) -----------------------
+
+def q_profile_orders(sf_dir):
+    """Per-column dataset profile (stages/profile.py:profile_columns —
+    one partial row per column per batch, tiny combine; min/max rendered
+    as strings so heterogeneous columns share a schema)."""
+    from ..stages import profile
+    return profile.profile_columns(
+        _t(sf_dir, "orders"),
+        int_cols=["o_orderkey", "o_custkey"],
+        str_cols=["o_orderstatus", "o_orderpriority"])
+
+
+def _profile_leg(col, kind):
+    cast = "CAST({} AS VARCHAR)" if kind == "i" else "{}"
+    return (f"SELECT '{col}' AS \"column\", CAST(count(*) AS BIGINT) AS "
+            f"n_rows, CAST(count(*) - count({col}) AS BIGINT) AS n_null, "
+            f"{cast.format(f'min({col})')} AS min_value, "
+            f"{cast.format(f'max({col})')} AS max_value FROM orders")
+
+
+SQL_PROFILE_ORDERS = " UNION ALL ".join([
+    _profile_leg("o_orderkey", "i"), _profile_leg("o_custkey", "i"),
+    _profile_leg("o_orderstatus", "s"), _profile_leg("o_orderpriority", "s"),
+])
+
+
+HIST_LO, HIST_WIDTH, HIST_NBINS = 0, 2000, 8
+
+
+def q_value_histogram(sf_dir):
+    """Fixed-width histogram of the event value in 1e-4 units
+    (stages/profile.py:histogram_fixed — bincount partials, one small
+    sum; under/overflow clamps to the edge bins)."""
+    from ..stages import profile
+
+    ds = _t(sf_dir, "events", columns=["value"])
+
+    def to_e4(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"value_e4": np.round(
+            df["value"].to_numpy() * 10000.0).astype("int64")})
+
+    return profile.histogram_fixed(
+        ds.map_batches(to_e4, batch_format="pandas"),
+        col="value_e4", lo=HIST_LO, width=HIST_WIDTH, nbins=HIST_NBINS)
+
+
+SQL_VALUE_HISTOGRAM = f"""
+WITH v AS (
+  SELECT LEAST(GREATEST(CAST(floor(
+           (CAST(round(value * 10000) AS BIGINT) - {HIST_LO}) * 1.0
+           / {HIST_WIDTH}) AS BIGINT), 0), {HIST_NBINS - 1}) AS bin
+  FROM events),
+bins AS (SELECT unnest(range(0, {HIST_NBINS})) AS bin)
+SELECT bins.bin,
+       CAST({HIST_LO} + bins.bin * {HIST_WIDTH} AS BIGINT) AS bin_lo,
+       CAST({HIST_LO} + (bins.bin + 1) * {HIST_WIDTH} - 1 AS BIGINT) AS bin_hi,
+       CAST(coalesce(n, 0) AS BIGINT) AS n
+FROM bins LEFT JOIN (SELECT bin, count(*) AS n FROM v GROUP BY bin) c
+USING (bin)
+"""
+
+
+EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+def q_events_pivot(sf_dir):
+    """Hour x event-type contingency table
+    (stages/profile.py:pivot_counts — per-batch crosstab partials
+    bounded by cell count; driver-side pivot of the 24x5 result)."""
+    from ..stages import profile
+
+    ds = _t(sf_dir, "events", columns=["ts", "event_type"])
+
+    def add_hour(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"hour": df["ts"].dt.hour.astype("int64"),
+                             "event_type": df["event_type"]})
+
+    return profile.pivot_counts(
+        ds.map_batches(add_hour, batch_format="pandas"),
+        row_key="hour", col_key="event_type", col_values=EVENT_TYPES)
+
+
+SQL_EVENTS_PIVOT = """
+SELECT CAST(extract(hour FROM ts) AS BIGINT) AS hour,
+       CAST(count(*) FILTER (WHERE event_type = 'click') AS BIGINT)
+         AS click,
+       CAST(count(*) FILTER (WHERE event_type = 'error') AS BIGINT)
+         AS error,
+       CAST(count(*) FILTER (WHERE event_type = 'purchase') AS BIGINT)
+         AS purchase,
+       CAST(count(*) FILTER (WHERE event_type = 'signup') AS BIGINT)
+         AS signup,
+       CAST(count(*) FILTER (WHERE event_type = 'view') AS BIGINT)
+         AS "view"
+FROM events GROUP BY 1
+"""
+
+
+def q_customer_activity(sf_dir):
+    """Distributed LEFT equi join (stages/joins.py:left_join): every
+    customer with their event count, 0 for the inactive — unmatched left
+    rows survive, which the inner path cannot express."""
+    from ..stages import joins, temporal
+
+    cust = _t(sf_dir, "customer", columns=["c_custkey", "c_nationkey"])
+    ev = _t(sf_dir, "events", columns=["user_id"]) \
+        .map_batches(lambda df: df.rename(columns={"user_id": "c_custkey"}),
+                     batch_format="pandas") \
+        .map_batches(lambda df: df.groupby("c_custkey", as_index=False)
+                     .agg(n_events=("c_custkey", "size")),
+                     batch_format="pandas") \
+        .groupby("c_custkey") \
+        .aggregate(Sum("n_events", alias_name="n_events"))
+    joined = joins.left_join(cust, ev, on="c_custkey",
+                             pre_blocks=temporal.TEMPORAL_PRE_BLOCKS_DOC)
+
+    def finalize(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["n_events"] = df["n_events"].fillna(0).astype("int64")
+        return df
+
+    return joined.map_batches(finalize, batch_format="pandas")
+
+
+SQL_CUSTOMER_ACTIVITY = """
+SELECT c_custkey, c_nationkey,
+       CAST(coalesce(e.n_events, 0) AS BIGINT) AS n_events
+FROM customer LEFT JOIN (
+  SELECT user_id, count(*) AS n_events FROM events GROUP BY user_id) e
+ON c_custkey = e.user_id
+"""
+
+
 # --- training-corpus curation (stages/corpusfilters.py) ----------------------
 
 def q_gopher_repetition(sf_dir):
@@ -1460,6 +1594,30 @@ FROM orders JOIN customer ON o_custkey = c_custkey
 """
 
 
+def q_unigram_nll(sf_dir):
+    """Mean negative log-likelihood per doc under the corpus unigram
+    model (stages/corpusfilters.py:unigram_logprob — vocab built from
+    bounded value_counts partials, shipped once; score pass is one
+    explode + dict map + group mean per batch)."""
+    from ..stages import corpusfilters
+
+    docs = _t(sf_dir, "documents", columns=["doc_id", "text"])
+    vocab = corpusfilters.unigram_counts(docs)
+    return corpusfilters.unigram_logprob(docs, vocab)
+
+
+SQL_UNIGRAM_NLL = r"""
+WITH tok AS (
+  SELECT doc_id, unnest(regexp_extract_all(text, '\S+')) AS w
+  FROM documents),
+v AS (SELECT w, count(*) AS n FROM tok GROUP BY w),
+tot AS (SELECT CAST(sum(n) AS DOUBLE) AS t FROM v)
+SELECT tok.doc_id, round(avg(-ln(v.n / tot.t)), 6) AS nll
+FROM tok JOIN v USING (w) CROSS JOIN tot
+GROUP BY tok.doc_id
+"""
+
+
 def q_contamination(sf_dir):
     """Benchmark-contamination marking: documents sharing an 8-word
     shingle with a held-out set (here: every 97th doc stands in for the
@@ -1499,11 +1657,16 @@ def queries() -> Dict[str, Callable]:
         "value_quantiles_by_type": q_value_quantiles_by_type,
         "anti_join_customers": q_anti_join_customers,
         "stratified_sample": q_stratified_sample,
+        "profile_orders": q_profile_orders,
+        "value_histogram": q_value_histogram,
+        "events_pivot": q_events_pivot,
+        "customer_activity": q_customer_activity,
         "gopher_repetition": q_gopher_repetition,
         "c4_quality": q_c4_quality,
         "pii_redact": q_pii_redact,
         "train_split": q_train_split,
         "orders_enriched": q_orders_enriched,
+        "unigram_nll": q_unigram_nll,
         "contamination": q_contamination,
         "dedup_exact": q_dedup_exact,
         "fingerprint": q_fingerprint,
@@ -1554,11 +1717,16 @@ def oracle_sql() -> Dict[str, str]:
         "value_quantiles_by_type": SQL_VALUE_QUANTILES_BY_TYPE,
         "anti_join_customers": SQL_ANTI_JOIN_CUSTOMERS,
         "stratified_sample": SQL_STRATIFIED_SAMPLE,
+        "profile_orders": SQL_PROFILE_ORDERS,
+        "value_histogram": SQL_VALUE_HISTOGRAM,
+        "events_pivot": SQL_EVENTS_PIVOT,
+        "customer_activity": SQL_CUSTOMER_ACTIVITY,
         "gopher_repetition": SQL_GOPHER_REPETITION,
         "c4_quality": SQL_C4_QUALITY,
         "pii_redact": SQL_PII_REDACT,
         "train_split": SQL_TRAIN_SPLIT,
         "orders_enriched": SQL_ORDERS_ENRICHED,
+        "unigram_nll": SQL_UNIGRAM_NLL,
         # contamination: shingle hashing not SQL-expressible -> rows-only
         "dedup_exact": SQL_DEDUP_EXACT,
         "fingerprint": SQL_FINGERPRINT,

@@ -234,6 +234,62 @@ def split_datasets(ds, *, key_col: str = "doc_id", train_pct: int = 80,
 
 
 # ---------------------------------------------------------------------------
+# Unigram language-model scoring
+# ---------------------------------------------------------------------------
+
+def unigram_counts(ds, *, text_col: str = "text") -> pd.DataFrame:
+    """Corpus unigram vocabulary with counts: per-batch value_counts
+    partials (one row per distinct word per batch) combined on the
+    driver. Bounded by VOCABULARY size, not corpus size — natural-language
+    vocabularies plateau in the millions, fine on one machine; for an
+    unbounded token space route the partials through the same
+    hash-partitioned reduce as stages/sketch.py heavy hitters."""
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        vc = df[text_col].fillna("").str.findall(r"\S+") \
+            .explode().dropna().value_counts()
+        return pd.DataFrame({"w": vc.index.to_numpy(dtype=object),
+                             "n": vc.to_numpy(dtype="int64")})
+
+    parts = pd.concat(
+        list(ds.select_columns([text_col])
+             .map_batches(partial, batch_format="pandas")
+             .iter_batches(batch_format="pandas", batch_size=65536)),
+        ignore_index=True)
+    return parts.groupby("w", as_index=False)["n"].sum()
+
+
+def unigram_logprob(ds, vocab: pd.DataFrame, *,
+                    id_col: str = "doc_id", text_col: str = "text"):
+    """Per-document mean negative log-likelihood under the corpus
+    unigram model: nll = mean over in-vocab words of -ln(count/total),
+    rounded to 6 dp (both float parity margin and the oracle's
+    comparison grain). High nll = rare-word-heavy documents; the
+    classic cheap fluency/quality signal (e.g. CCNet's LM filter,
+    Wenzek et al. 2020, uses a real LM — this is its unigram floor).
+
+    ``vocab`` (from :func:`unigram_counts`) ships inside the task
+    closure as a plain dict — for vocabularies too large for closures,
+    ``ray.put`` the dict and fetch in an actor-pool __init__ like
+    MarkContamination. Zero-word (or all-OOV) docs emit no row."""
+    total = float(vocab["n"].sum())
+    logp = dict(zip(vocab["w"], -np.log(vocab["n"].to_numpy() / total)))
+
+    def score(df: pd.DataFrame) -> pd.DataFrame:
+        ex = df[text_col].fillna("").str.findall(r"\S+").explode().dropna()
+        if len(ex) == 0:
+            return pd.DataFrame({id_col: pd.Series([], dtype="int64"),
+                                 "nll": pd.Series([], dtype="float64")})
+        t = pd.DataFrame({id_col: df[id_col].reindex(ex.index),
+                          "lp": ex.map(logp)})
+        t = t.dropna(subset=["lp"])
+        out = t.groupby(id_col, as_index=False)["lp"].mean()
+        return pd.DataFrame({id_col: out[id_col].astype("int64"),
+                             "nll": out["lp"].round(6).astype("float64")})
+
+    return ds.map_batches(score, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
 # Benchmark contamination (n-gram overlap)
 # ---------------------------------------------------------------------------
 

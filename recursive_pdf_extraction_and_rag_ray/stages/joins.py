@@ -116,21 +116,28 @@ def anti_join(left, right, *, on: str, **kw):
     return semi_anti_join(left, right, on=on, anti=True, **kw)
 
 
-def inner_join(left, right, *, on: str,
-               right_cols: Optional[list] = None,
-               coarse: int = TEMPORAL_COARSE_GROUPS,
-               pre_blocks: Optional[int] = None):
-    """Distributed equi inner join returning left columns + right
-    columns: both sides tagged and hash-partitioned ONCE by
-    ``hash(key) % coarse`` (same Knuth scheme as the semi/anti path and
-    the temporal joins — one shuffle, no driver state, no broadcast),
-    then one vectorized ``pandas.merge`` per partition. Duplicate right
-    keys multiply rows per standard join semantics.
+def equi_join(left, right, *, on: str, how: str = "inner",
+              right_cols: Optional[list] = None,
+              coarse: int = TEMPORAL_COARSE_GROUPS,
+              pre_blocks: Optional[int] = None):
+    """Distributed equi join returning left columns + right columns:
+    both sides tagged and hash-partitioned ONCE by ``hash(key) % coarse``
+    (same Knuth scheme as the semi/anti path and the temporal joins —
+    one shuffle, no driver state, no broadcast), then one vectorized
+    ``pandas.merge`` per partition. Duplicate right keys multiply rows
+    per standard join semantics.
+
+    ``how='left'`` keeps unmatched left rows; right-side integer columns
+    are then carried as float64 in EVERY partition (not just those with
+    misses) so the block schema cannot drift — matching what a SQL LEFT
+    JOIN's nullable columns round-trip to through pandas.
 
     Column names (apart from ``on``) must be disjoint — rename upstream.
     Key must be int64. For a SMALL right side prefer the broadcast probe
     (pipelines/queries.py:q_broadcast_join_agg shape): it skips the
     shuffle entirely."""
+    if how not in ("inner", "left"):
+        raise ValueError(f"how must be 'inner' or 'left', got {how!r}")
     lsch, rsch = left.schema(), right.schema()
     left_cols = list(lsch.names)
     right_cols = right_cols or [c for c in rsch.names if c != on]
@@ -139,6 +146,11 @@ def inner_join(left, right, *, on: str,
         raise ValueError(f"overlapping non-key columns: {sorted(clash)}")
     l_dt = _pd_dtype_map(lsch)
     r_dt = {c: t for c, t in _pd_dtype_map(rsch).items() if c in right_cols}
+    if how == "left":
+        # nullable carry: int right columns become float64 uniformly
+        r_dt = {c: (np.dtype("float64")
+                    if np.dtype(t).kind in "iu" else t)
+                for c, t in r_dt.items()}
     all_cols = left_cols + right_cols
     all_dt = {**l_dt, **r_dt}
 
@@ -174,7 +186,15 @@ def inner_join(left, right, *, on: str,
     def merge(g: pd.DataFrame) -> pd.DataFrame:
         l = g.loc[g["_side"] == 0, left_cols]
         r = g.loc[g["_side"] == 1, [on] + right_cols]
-        out = l.merge(r, on=on, how="inner", sort=False)
+        out = l.merge(r, on=on, how=how, sort=False)
         return out[all_cols].reset_index(drop=True).astype(all_dt)
 
     return both.groupby("_pkey").map_groups(merge, batch_format="pandas")
+
+
+def inner_join(left, right, *, on: str, **kw):
+    return equi_join(left, right, on=on, how="inner", **kw)
+
+
+def left_join(left, right, *, on: str, **kw):
+    return equi_join(left, right, on=on, how="left", **kw)

@@ -97,6 +97,23 @@ def test_contamination_planted_overlap(ray_session):
     assert out.loc[0, "n_hits"] == out.loc[0, "n_shingles"]
 
 
+def test_unigram_nll_matches_hand_computation(ray_session):
+    import math
+    ds = _ds(["a a b", "b c"])
+    vocab = cf.unigram_counts(ds)
+    assert sorted(zip(vocab["w"], vocab["n"])) == [("a", 2), ("b", 2),
+                                                   ("c", 1)]
+    out = cf.unigram_logprob(ds, vocab).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    pa_, pb, pc_ = 2 / 5, 2 / 5, 1 / 5
+    exp0 = -(math.log(pa_) * 2 + math.log(pb)) / 3
+    exp1 = -(math.log(pb) + math.log(pc_)) / 2
+    assert out.loc[0, "nll"] == pytest.approx(exp0, abs=1e-6)
+    assert out.loc[1, "nll"] == pytest.approx(exp1, abs=1e-6)
+    # rare-word doc scores higher (less fluent under the corpus model)
+    assert out.loc[1, "nll"] > out.loc[0, "nll"]
+
+
 def test_inner_join_duplicates_and_dtypes(ray_session):
     l = ray.data.from_pandas(pd.DataFrame({
         "k": np.int64([1, 2, 2, 3, 4]),
