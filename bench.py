@@ -47,6 +47,7 @@ BENCH_QUERIES = [
     "stratified_sample",
     "gopher_repetition", "pii_redact", "orders_enriched", "contamination",
     "unigram_nll", "customer_activity",
+    "shuffle_rank", "pack_documents",
 ]
 
 

@@ -1424,6 +1424,64 @@ ON c_custkey = e.user_id
 """
 
 
+# --- dataloader prep (stages/packing.py) --------------------------------------
+
+def q_shuffle_rank(sf_dir):
+    """Deterministic global training-order shuffle: dense rank over
+    (knuth_hash(doc_id), doc_id) — an exact reproducible permutation of
+    the corpus computed distributed (stages/packing.py:global_rank:
+    bounded histogram pass -> offsets in closure -> per-bucket local
+    rank; no global sort materialization)."""
+    from ..stages import packing
+
+    ds = _t(sf_dir, "documents", columns=["doc_id"])
+
+    def add_h(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["h"] = (df["doc_id"].to_numpy().astype("int64")
+                   * 2654435761) % (1 << 32)
+        return df
+
+    return packing.global_rank(
+        ds.map_batches(add_h, batch_format="pandas"),
+        by="h", tiebreak="doc_id", out="shuffle_pos")
+
+
+SQL_SHUFFLE_RANK = """
+SELECT doc_id, (doc_id * 2654435761) % 4294967296 AS h,
+       CAST(row_number() OVER (
+         ORDER BY (doc_id * 2654435761) % 4294967296, doc_id) - 1
+       AS BIGINT) AS shuffle_pos
+FROM documents
+"""
+
+
+PACK_BUDGET = 2048
+
+
+def q_pack_documents(sf_dir):
+    """Sequence packing for a trainer: greedy first-fit of documents
+    (len = reference max(1, n_chars//4) token heuristic) into
+    PACK_BUDGET-token packs, deterministic within hash partitions
+    (stages/packing.py:pack_sequences). Rows-only: the greedy
+    reset-scan isn't SQL-expressible; invariants (budget respected,
+    exactly-once assignment, partitioning-invariance) pinned in
+    tests/test_packing.py."""
+    from ..stages import packing
+
+    ds = _t(sf_dir, "documents", columns=["doc_id", "n_chars"])
+
+    def to_len(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "doc_id": df["doc_id"].astype("int64"),
+            "n_tokens": np.maximum(
+                1, df["n_chars"].to_numpy() // 4).astype("int64")})
+
+    return packing.pack_sequences(
+        ds.map_batches(to_len, batch_format="pandas"),
+        id_col="doc_id", len_col="n_tokens", budget=PACK_BUDGET)
+
+
 # --- training-corpus curation (stages/corpusfilters.py) ----------------------
 
 def q_gopher_repetition(sf_dir):
@@ -1668,6 +1726,8 @@ def queries() -> Dict[str, Callable]:
         "orders_enriched": q_orders_enriched,
         "unigram_nll": q_unigram_nll,
         "contamination": q_contamination,
+        "shuffle_rank": q_shuffle_rank,
+        "pack_documents": q_pack_documents,
         "dedup_exact": q_dedup_exact,
         "fingerprint": q_fingerprint,
         "token_count": q_token_count,
@@ -1727,6 +1787,8 @@ def oracle_sql() -> Dict[str, str]:
         "train_split": SQL_TRAIN_SPLIT,
         "orders_enriched": SQL_ORDERS_ENRICHED,
         "unigram_nll": SQL_UNIGRAM_NLL,
+        "shuffle_rank": SQL_SHUFFLE_RANK,
+        # pack_documents: greedy reset-scan not SQL-expressible -> rows-only
         # contamination: shingle hashing not SQL-expressible -> rows-only
         "dedup_exact": SQL_DEDUP_EXACT,
         "fingerprint": SQL_FINGERPRINT,
