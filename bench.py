@@ -48,6 +48,7 @@ BENCH_QUERIES = [
     "gopher_repetition", "pii_redact", "orders_enriched", "contamination",
     "unigram_nll", "customer_activity",
     "shuffle_rank", "pack_documents",
+    "cms_event_counts", "hll_distinct_users",
 ]
 
 

@@ -1424,6 +1424,38 @@ ON c_custkey = e.user_id
 """
 
 
+# --- mergeable approximate sketches (stages/sketch.py) ------------------------
+
+def q_cms_event_counts(sf_dir):
+    """Count-Min sketch estimates for the event-type counts
+    (stages/sketch.py:cms_build — fixed-size grids summed across tasks,
+    no groupby). Rows-only: the estimate is exact here because the
+    5-value space can't collide at width 16384; the one-sided error
+    bound is pinned in tests/test_sketches.py on an adversarial
+    cardinality instead."""
+    from ..stages import sketch
+
+    ds = _t(sf_dir, "events", columns=["event_type"])
+    cms = sketch.cms_build(ds, col="event_type")
+    types = pd.Series(EVENT_TYPES, dtype="object")
+    return pd.DataFrame({
+        "event_type": types,
+        "n_est": sketch.cms_query(cms, types).astype("int64")})
+
+
+def q_hll_distinct_users(sf_dir):
+    """HyperLogLog distinct-user estimate (stages/sketch.py:hll_build —
+    2^12 registers merged by elementwise max; double-counting safe).
+    Rows-only: the +/-1.6%-sigma estimate has no SQL-exact equivalent;
+    the error bound is pinned in tests/test_sketches.py."""
+    from ..stages import sketch
+
+    ds = _t(sf_dir, "events", columns=["user_id"])
+    est = sketch.hll_estimate(sketch.hll_build(ds, col="user_id"))
+    return pd.DataFrame({"n_users_est": pd.Series([round(est)],
+                                                  dtype="int64")})
+
+
 # --- dataloader prep (stages/packing.py) --------------------------------------
 
 def q_shuffle_rank(sf_dir):
@@ -1728,6 +1760,8 @@ def queries() -> Dict[str, Callable]:
         "contamination": q_contamination,
         "shuffle_rank": q_shuffle_rank,
         "pack_documents": q_pack_documents,
+        "cms_event_counts": q_cms_event_counts,
+        "hll_distinct_users": q_hll_distinct_users,
         "dedup_exact": q_dedup_exact,
         "fingerprint": q_fingerprint,
         "token_count": q_token_count,

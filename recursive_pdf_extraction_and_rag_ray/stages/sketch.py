@@ -188,3 +188,123 @@ def exact_quantiles(ds: "ray.data.Dataset", col: str,
             cum, rank, side="left"))]))
     return pd.DataFrame({"p": np.asarray(ps, dtype=np.float64),
                          col: pd.Series(vals, dtype="int64")})
+
+
+# ---------------------------------------------------------------------------
+# mergeable approximate sketches: Count-Min and HyperLogLog
+# ---------------------------------------------------------------------------
+# The exact operators above are bounded by distinct-value cardinality;
+# these two are bounded by a FIXED sketch size regardless of cardinality
+# — the shape that still works when the value space itself is web-scale.
+# Both partials merge with one elementwise op (sum / max), so the whole
+# reduction is a handful of numpy folds over task outputs: no groupby,
+# no shuffle, no driver-sized state. (Cormode & Muthukrishnan 2005;
+# Flajolet et al. 2007 — public constructions.)
+
+CMS_DEPTH = 4
+CMS_WIDTH = 16384
+HLL_P = 12                     # 2^12 registers, ~1.6% standard error
+_SKETCH_SEEDS = np.uint64([0x9E3779B97F4A7C15, 0xC2B2AE3D27D4EB4F,
+                           0x165667B19E3779F9, 0x27D4EB2F165667C5])
+
+
+def _mix64(x: np.ndarray, seed: np.uint64) -> np.ndarray:
+    """splitmix64-style avalanche over a uint64 array (vectorized)."""
+    x = (x + seed).astype(np.uint64)
+    x ^= x >> np.uint64(30)
+    x = x * np.uint64(0xBF58476D1CE4E5B9)
+    x ^= x >> np.uint64(27)
+    x = x * np.uint64(0x94D049BB133111EB)
+    x ^= x >> np.uint64(31)
+    return x
+
+
+def _hash_values(s: pd.Series) -> np.ndarray:
+    """uint64 hash of any column: pandas' C siphash for objects,
+    identity-mix for ints (stable across processes, like
+    corpusfilters._batch_word_hashes)."""
+    v = s.to_numpy()
+    if v.dtype.kind in "iu":
+        return v.astype(np.uint64)
+    return pd.util.hash_array(v.astype(object)).astype(np.uint64)
+
+
+def cms_build(ds: "ray.data.Dataset", *, col: str,
+              depth: int = CMS_DEPTH, width: int = CMS_WIDTH) -> np.ndarray:
+    """Count-Min sketch of a column: each batch scatter-adds its value
+    counts into a (depth, width) int64 grid; grids SUM into the corpus
+    sketch (associative, order-free). Fixed memory, any cardinality."""
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        h = _hash_values(df[col])
+        grid = np.zeros((depth, width), dtype=np.int64)
+        for d in range(depth):
+            idx = (_mix64(h, _SKETCH_SEEDS[d]) % np.uint64(width)) \
+                .astype(np.int64)
+            np.add.at(grid[d], idx, 1)
+        return pd.DataFrame({"sketch": [grid.tobytes()]})
+
+    grids = [np.frombuffer(b, dtype=np.int64).reshape(depth, width)
+             for t in ds.select_columns([col])
+             .map_batches(partial, batch_format="pandas")
+             .iter_batches(batch_format="pandas", batch_size=65536)
+             for b in t["sketch"]]
+    if not grids:
+        return np.zeros((depth, width), dtype=np.int64)
+    return np.sum(grids, axis=0)
+
+
+def cms_query(sketch: np.ndarray, values: pd.Series) -> np.ndarray:
+    """Point-estimate counts: min over rows of the sketch cells. Never
+    underestimates the true count; overestimate bounded by eps*N with
+    eps = e/width at confidence 1 - e^-depth."""
+    depth, width = sketch.shape
+    h = _hash_values(values)
+    est = np.full(len(h), np.iinfo(np.int64).max, dtype=np.int64)
+    for d in range(depth):
+        idx = (_mix64(h, _SKETCH_SEEDS[d]) % np.uint64(width)) \
+            .astype(np.int64)
+        est = np.minimum(est, sketch[d][idx])
+    return est
+
+
+def hll_build(ds: "ray.data.Dataset", *, col: str,
+              p: int = HLL_P) -> np.ndarray:
+    """HyperLogLog registers for a column: per-batch register arrays
+    MERGE by elementwise max (associative, idempotent — double-counting
+    safe, which also makes the sketch resumable for free)."""
+    m = 1 << p
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        h = _mix64(_hash_values(df[col]), _SKETCH_SEEDS[0])
+        reg_idx = (h >> np.uint64(64 - p)).astype(np.int64)
+        rest = (h << np.uint64(p)) | np.uint64((1 << p) - 1)
+        # rank = leading zeros of the remaining bits + 1, via bit length
+        lz = np.zeros(len(h), dtype=np.int64)
+        x = rest.copy()
+        for shift in (32, 16, 8, 4, 2, 1):
+            mask = x < (np.uint64(1) << np.uint64(64 - shift))
+            lz[mask] += shift
+            x[mask] = x[mask] << np.uint64(shift)
+        regs = np.zeros(m, dtype=np.int8)
+        np.maximum.at(regs, reg_idx, (lz + 1).astype(np.int8))
+        return pd.DataFrame({"sketch": [regs.tobytes()]})
+
+    regs = np.zeros(m, dtype=np.int8)
+    for t in ds.select_columns([col]) \
+            .map_batches(partial, batch_format="pandas") \
+            .iter_batches(batch_format="pandas", batch_size=65536):
+        for b in t["sketch"]:
+            regs = np.maximum(regs, np.frombuffer(b, dtype=np.int8))
+    return regs
+
+
+def hll_estimate(regs: np.ndarray) -> float:
+    """Flajolet et al. 2007 estimator with the standard small-range
+    (linear counting) correction."""
+    m = len(regs)
+    alpha = 0.7213 / (1 + 1.079 / m)
+    est = alpha * m * m / np.sum(np.exp2(-regs.astype(np.float64)))
+    zeros = int((regs == 0).sum())
+    if est <= 2.5 * m and zeros:
+        return m * float(np.log(m / zeros))
+    return float(est)
