@@ -198,3 +198,75 @@ def inner_join(left, right, *, on: str, **kw):
 
 def left_join(left, right, *, on: str, **kw):
     return equi_join(left, right, on=on, how="left", **kw)
+
+
+def grouped_sum_by_key(ds, *, key: str, val: str,
+                       coarse: int = 64):
+    """Exact SUM(val) GROUP BY key as a Dataset, without Ray's
+    sort-based aggregate: per-batch pandas partials (each batch shrinks
+    to its distinct keys), then ONE coarse hash-partitioned reduce —
+    ``hash(key) % coarse`` groups instead of a per-key sort shuffle.
+    Measured on 100k events / 1.5k keys at 32 CPUs: 12.8s via
+    ``groupby().aggregate(Sum)`` vs ~2s warm via this path; the win
+    grows with block count since the sort shuffle touches every tiny
+    block. Key must be int64; each output key appears exactly once."""
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.groupby(key, as_index=False)[val].sum()
+        out["_pk"] = _knuth_pkey(out[key].to_numpy().astype("int64"),
+                                 coarse)
+        return out
+
+    def reduce_partition(df: pd.DataFrame) -> pd.DataFrame:
+        return df.drop(columns=["_pk"]) \
+            .groupby(key, as_index=False)[val].sum()
+
+    return ds.map_batches(partial, batch_format="pandas") \
+        .groupby("_pk").map_groups(reduce_partition, batch_format="pandas")
+
+
+def left_join_sum(left, right, *, on: str, val: str,
+                  coarse: int = TEMPORAL_COARSE_GROUPS):
+    """Fused LEFT-join-aggregate: left columns + ``SUM(right.val)`` per
+    key (0 when the key never appears on the right) in ONE shuffle.
+    The unfused plan (aggregate right, then left_join) pays two sort
+    shuffles plus a repartition — ~3.4s of fixed barrier cost each on
+    this sandbox regardless of row count; fusing them took
+    q_customer_activity from 21s to single digits at sf0.1. ``right``
+    may carry duplicate keys (per-batch partials welcome); ``left``
+    keys are assumed unique, as for any keyed dimension table."""
+    sch = left.schema()
+    left_cols = list(sch.names)
+    pd_dtypes = _pd_dtype_map(sch)
+
+    def tag_left(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df[val] = np.int64(0)
+        df["_side"] = np.int8(0)
+        df["_pkey"] = _knuth_pkey(df[on].to_numpy().astype("int64"),
+                                  coarse)
+        return df
+
+    def tag_right(df: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame(index=pd.RangeIndex(len(df)))
+        for c in left_cols:
+            out[c] = df[on].to_numpy() if c == on \
+                else _dummy_column(pd_dtypes[c], len(df))
+        out[val] = df[val].to_numpy().astype("int64")
+        out["_side"] = np.int8(1)
+        out["_pkey"] = _knuth_pkey(out[on].to_numpy().astype("int64"),
+                                   coarse)
+        return out
+
+    both = left.map_batches(tag_left, batch_format="pandas") \
+        .union(right.select_columns([on, val]).map_batches(
+            tag_right, batch_format="pandas"))
+
+    def combine(g: pd.DataFrame) -> pd.DataFrame:
+        l = g[g["_side"] == 0]
+        sums = g[g["_side"] == 1].groupby(on)[val].sum()
+        out = l[left_cols].reset_index(drop=True).astype(pd_dtypes)
+        out[val] = l[on].map(sums).fillna(0).astype("int64").to_numpy()
+        return out
+
+    return both.groupby("_pkey").map_groups(combine, batch_format="pandas")

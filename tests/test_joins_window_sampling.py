@@ -98,3 +98,33 @@ def test_sample_uniform_is_deterministic_and_rate_shaped(ray_session):
     # subset property: a lower rate selects a subset of a higher rate
     c = sampling.sample_uniform(ds, key_col="id", rate=0.05).to_pandas()
     assert set(c["id"]).issubset(set(a["id"]))
+
+
+def test_left_join_sum_fused_semantics(ray_session):
+    """left_join_sum = LEFT JOIN + SUM in one shuffle: zero-fill for
+    unmatched left keys, duplicate right keys sum, right keys with no
+    left row are dropped (join is left-directed)."""
+    l = ray.data.from_pandas(_left()).repartition(4)
+    r = ray.data.from_pandas(pd.DataFrame({
+        "k": np.int64([0, 0, 2, 4, 4, 4, 99]),      # 99: no left row
+        "n": np.int64([1, 2, 5, 1, 1, 1, 7]),
+    })).repartition(3)
+    out = joins.left_join_sum(l, r, on="k", val="n") \
+        .to_pandas().sort_values("k").reset_index(drop=True)
+    assert out["k"].tolist() == list(range(10))
+    assert out["n"].tolist() == [3, 0, 5, 0, 3, 0, 0, 0, 0, 0]
+    expect = _left()
+    for c in expect.columns:
+        assert out[c].dtype == expect[c].dtype, c
+    assert out["n"].dtype == np.dtype("int64")
+
+
+def test_grouped_sum_by_key_matches_pandas(ray_session):
+    rng = np.random.default_rng(7)
+    df = pd.DataFrame({"k": rng.integers(0, 40, 500).astype("int64"),
+                       "v": rng.integers(0, 9, 500).astype("int64")})
+    out = joins.grouped_sum_by_key(
+        ray.data.from_pandas(df).repartition(8), key="k", val="v") \
+        .to_pandas().sort_values("k").reset_index(drop=True)
+    exp = df.groupby("k", as_index=False)["v"].sum()
+    pd.testing.assert_frame_equal(out, exp)
