@@ -1718,6 +1718,55 @@ def q_contamination(sf_dir):
     return corpusfilters.mark_contamination(docs, list(bench["text"]))
 
 
+def q_boilerplate_scrub(sf_dir):
+    """Corpus-frequency boilerplate removal
+    (stages/boilerplate.py:remove_boilerplate_lines): lines appearing
+    in >= 5 distinct documents are dropped, documents reassembled in
+    order. The testdata documents are single distinct lines, so both
+    sides first plant deterministic footers — a shared nav line per
+    doc_id%7 class (boilerplate, removed) and a unique share line per
+    doc (content, kept); every-third doc has no nav line."""
+    from ..stages.boilerplate import remove_boilerplate_lines
+
+    def plant(df: pd.DataFrame) -> pd.DataFrame:
+        d = df["doc_id"].to_numpy()
+        t = df["text"].fillna("").to_numpy(dtype=object)
+        share = np.array([f"share-{i}" for i in d], dtype=object)
+        nav = np.array([f"nav-{i % 7}" for i in d], dtype=object)
+        text = np.where(d % 3 == 0, t + "\n" + share,
+                        t + "\n" + nav + "\n" + share)
+        return pd.DataFrame({"doc_id": d, "text": text})
+
+    docs = _t(sf_dir, "documents", columns=["doc_id", "text"]) \
+        .map_batches(plant, batch_format="pandas")
+    return remove_boilerplate_lines(docs, min_df=5)
+
+
+SQL_BOILERPLATE_SCRUB = """
+WITH d AS (
+  SELECT doc_id,
+         text || chr(10) ||
+         CASE WHEN doc_id % 3 = 0 THEN ''
+              ELSE 'nav-' || CAST(doc_id % 7 AS VARCHAR) || chr(10) END ||
+         'share-' || CAST(doc_id AS VARCHAR) AS text
+  FROM documents),
+split AS (SELECT doc_id, string_split(text, chr(10)) AS ls FROM d),
+lines AS (SELECT doc_id, unnest(ls) AS line,
+                 unnest(generate_series(1, len(ls))) AS pos
+          FROM split),
+freq AS (SELECT line, count(DISTINCT doc_id) AS df
+         FROM lines GROUP BY line),
+kept AS (SELECT l.doc_id, l.line, l.pos
+         FROM lines l JOIN freq f USING(line) WHERE f.df < 5),
+agg AS (SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS text,
+               count(*) AS n_kept
+        FROM kept GROUP BY doc_id)
+SELECT s.doc_id, coalesce(a.text, '') AS text,
+       CAST(len(s.ls) - coalesce(a.n_kept, 0) AS BIGINT) AS n_removed
+FROM split s LEFT JOIN agg a USING(doc_id)
+"""
+
+
 def queries() -> Dict[str, Callable]:
     return {
         "agg_rollup": q_agg_rollup,
@@ -1751,6 +1800,7 @@ def queries() -> Dict[str, Callable]:
         "orders_enriched": q_orders_enriched,
         "unigram_nll": q_unigram_nll,
         "contamination": q_contamination,
+        "boilerplate_scrub": q_boilerplate_scrub,
         "shuffle_rank": q_shuffle_rank,
         "pack_documents": q_pack_documents,
         "cms_event_counts": q_cms_event_counts,
@@ -1814,6 +1864,7 @@ def oracle_sql() -> Dict[str, str]:
         "train_split": SQL_TRAIN_SPLIT,
         "orders_enriched": SQL_ORDERS_ENRICHED,
         "unigram_nll": SQL_UNIGRAM_NLL,
+        "boilerplate_scrub": SQL_BOILERPLATE_SCRUB,
         "shuffle_rank": SQL_SHUFFLE_RANK,
         # pack_documents: greedy reset-scan not SQL-expressible -> rows-only
         # contamination: shingle hashing not SQL-expressible -> rows-only

@@ -138,3 +138,34 @@ def test_inner_join_rejects_column_clash(ray_session):
     r = ray.data.from_pandas(pd.DataFrame({"k": np.int64([1]), "v": [2]}))
     with pytest.raises(ValueError, match="overlapping"):
         joins.inner_join(l, r, on="k")
+
+
+def test_boilerplate_scrub_semantics(ray_session):
+    from recursive_pdf_extraction_and_rag_ray.stages import boilerplate as bp
+    ds = _ds([
+        "unique one\nCOOKIE BANNER\nbody A",
+        "COOKIE BANNER\nCOOKIE BANNER\nbody B",   # within-doc repeat: df counts once
+        "COOKIE BANNER",                          # nothing survives -> ''
+        "body D\nunique two",
+    ])
+    hot = bp.frequent_lines(ds, min_df=3)
+    assert hot["line"].tolist() == ["COOKIE BANNER"]
+    assert hot["n"].tolist() == [3]  # 3 distinct docs, not 4 occurrences
+    out = bp.remove_boilerplate_lines(ds, min_df=3).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    assert out["text"].tolist() == [
+        "unique one\nbody A", "body B", "", "body D\nunique two"]
+    assert out["n_removed"].tolist() == [1, 2, 1, 0]
+
+
+def test_boilerplate_distributed_matches_driver(ray_session):
+    from recursive_pdf_extraction_and_rag_ray.stages import boilerplate as bp
+    texts = [f"doc {i}\nfooter {i % 3}\ntail {i % 2}" for i in range(40)]
+    ds = _ds(texts).repartition(5)
+    a = bp.remove_boilerplate_lines(ds, min_df=10).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    b = bp.remove_boilerplate_lines(ds, min_df=10, distributed=True) \
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
+    # footer 0/1/2 each in >=13 docs, tail 0/1 in 20 -> all dropped
+    assert a["text"].tolist() == [f"doc {i}" for i in range(40)]
