@@ -46,9 +46,10 @@ BENCH_QUERIES = [
     "events_window", "value_quantiles_by_type", "anti_join_customers",
     "stratified_sample",
     "gopher_repetition", "pii_redact", "orders_enriched", "contamination",
-    "unigram_nll", "customer_activity",
+    "unigram_nll", "customer_activity", "boilerplate_scrub",
     "shuffle_rank", "pack_documents",
     "cms_event_counts", "hll_distinct_users",
+    "tdigest_value_quantiles", "semantic_dedup",
 ]
 
 

@@ -1449,6 +1449,37 @@ def q_hll_distinct_users(sf_dir):
                                                   dtype="int64")})
 
 
+def q_tdigest_value_quantiles(sf_dir):
+    """t-digest quantile estimates over events.value
+    (stages/sketch.py:tdigest_build — one streaming pass, mergeable
+    centroid partials; the continuous-column complement of the exact
+    value-histogram quantiles). Rows-only: estimates are approximate
+    and partitioning-dependent; the O(q(1-q)/delta) rank-error bound
+    is pinned in tests/test_sketches.py."""
+    from ..stages import sketch
+
+    ds = _t(sf_dir, "events", columns=["value"])
+    dig = sketch.tdigest_build(ds, "value")
+    qs = np.array([0.01, 0.25, 0.5, 0.75, 0.99])
+    return pd.DataFrame({"q": qs,
+                         "value_est": sketch.tdigest_quantile(dig, qs)})
+
+
+def q_semantic_dedup(sf_dir):
+    """SemDeDup survivors over the embeddings table
+    (stages/semdedup.py:semantic_dedup_keep_first — k-means blocks from
+    a bounded deterministic sample, tiled within-cluster cosine pairs,
+    keep-first components). Rows-only: iterative k-means isn't
+    SQL-expressible; planted-duplicate recall and driver/distributed
+    parity are pinned in tests/test_semdedup.py."""
+    from ..stages import semdedup
+
+    ds = _t(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    return semdedup.semantic_dedup_keep_first(
+        ds, threshold=0.3,
+        source_path=os.path.join(sf_dir, "embeddings.parquet"))
+
+
 # --- dataloader prep (stages/packing.py) --------------------------------------
 
 def q_shuffle_rank(sf_dir):
@@ -1805,6 +1836,8 @@ def queries() -> Dict[str, Callable]:
         "pack_documents": q_pack_documents,
         "cms_event_counts": q_cms_event_counts,
         "hll_distinct_users": q_hll_distinct_users,
+        "tdigest_value_quantiles": q_tdigest_value_quantiles,
+        "semantic_dedup": q_semantic_dedup,
         "dedup_exact": q_dedup_exact,
         "fingerprint": q_fingerprint,
         "token_count": q_token_count,

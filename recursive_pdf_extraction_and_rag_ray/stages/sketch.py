@@ -308,3 +308,123 @@ def hll_estimate(regs: np.ndarray) -> float:
     if est <= 2.5 * m and zeros:
         return m * float(np.log(m / zeros))
     return float(est)
+
+
+# --- t-digest: mergeable quantile sketch -------------------------------------
+#
+# The exact quantile operators above are bounded by the VALUE-SPACE
+# cardinality; over a continuous column (latencies, scores, byte sizes)
+# at 100 TB that bound is gone. The t-digest (Dunning & Ertl 2019,
+# arXiv:1902.04023 — public method) is the one-pass mergeable answer:
+# each task compresses its batch to <= ~delta weighted centroids sized
+# by the k1 scale function (tiny centroids at the tails, so extreme
+# quantiles stay sharp), and partials merge associatively into one
+# digest of <= delta centroids. Rank error is O(q(1-q)/delta).
+
+TDIGEST_DELTA = 200
+
+
+def _k1_qbins(delta: int) -> np.ndarray:
+    """Monotone q-space bin edges from the k1 scale function
+    k(q) = (delta/2pi) asin(2q-1): fine at the tails, coarse in the
+    middle. Edges cover [0, 1] inclusive."""
+    i = np.arange(delta + 1, dtype=np.float64)
+    return 0.5 * (1.0 + np.sin(np.pi * (i / delta - 0.5)))
+
+
+def _batch_centroids(vals: np.ndarray, delta: int) -> pd.DataFrame:
+    """Compress one batch to <= delta (mean, weight) centroids with one
+    sort + one vectorized reduceat — no Python loop over rows."""
+    v = np.sort(vals[~np.isnan(vals)], kind="mergesort")
+    n = len(v)
+    if n == 0:
+        return pd.DataFrame({"mean": pd.Series([], dtype="float64"),
+                             "weight": pd.Series([], dtype="float64")})
+    edges = np.unique(np.clip(np.round(_k1_qbins(delta) * n), 0,
+                              n).astype(np.int64))
+    starts = edges[:-1]
+    counts = np.diff(edges).astype(np.float64)
+    sums = np.add.reduceat(v, starts)
+    return pd.DataFrame({"mean": sums / counts, "weight": counts})
+
+
+def _tdigest_compress(means: np.ndarray, weights: np.ndarray,
+                      delta: int) -> pd.DataFrame:
+    """Merge sorted-by-mean centroids while each merged centroid's
+    k1-size stays <= 1 — the standard t-digest merge pass. Sequential,
+    but only over centroids (<= n_partials x delta rows), never raw
+    data."""
+    order = np.argsort(means, kind="mergesort")
+    means, weights = means[order], weights[order]
+    total = float(weights.sum())
+    scale = delta / (2.0 * np.pi)
+
+    def k(q: float) -> float:
+        return scale * np.arcsin(2.0 * min(max(q, 0.0), 1.0) - 1.0)
+
+    out_m: List[float] = []
+    out_w: List[float] = []
+    cur_m, cur_w = float(means[0]), float(weights[0])
+    w_before = 0.0
+    for m, w in zip(means[1:], weights[1:]):
+        if k((w_before + cur_w + w) / total) - k(w_before / total) <= 1.0:
+            cur_m += (m - cur_m) * (w / (cur_w + w))
+            cur_w += w
+        else:
+            out_m.append(cur_m)
+            out_w.append(cur_w)
+            w_before += cur_w
+            cur_m, cur_w = float(m), float(w)
+    out_m.append(cur_m)
+    out_w.append(cur_w)
+    return pd.DataFrame({"mean": np.float64(out_m),
+                         "weight": np.float64(out_w)})
+
+
+def tdigest_build(ds: "ray.data.Dataset", col: str, *,
+                  delta: int = TDIGEST_DELTA,
+                  distributed: bool = False) -> pd.DataFrame:
+    """One streaming pass -> a (mean, weight) digest of <= ~delta rows.
+    Per-batch compression is vectorized; the combine is over centroid
+    rows only (n_batches x delta, ~KBs per TB of input). Driver path:
+    one merge pass. ``distributed=True``: pre-merge per coarse hash
+    partition in tasks first (tree reduce), then the tiny final pass —
+    for when even the centroid partials outgrow one machine. The two
+    paths differ bit-for-bit (approximate merging is order-dependent)
+    but satisfy the same rank-error bound (test-pinned)."""
+    parts = ds.select_columns([col]).map_batches(
+        lambda df: _batch_centroids(df[col].to_numpy(np.float64), delta),
+        batch_format="pandas")
+    if distributed:
+        def with_pk(df: pd.DataFrame) -> pd.DataFrame:
+            df = df.copy()
+            h = pd.util.hash_array(df["mean"].to_numpy())
+            df["_pk"] = (h % SKETCH_REDUCE_PARTITIONS).astype("int64")
+            return df
+
+        parts = parts.map_batches(with_pk, batch_format="pandas") \
+            .groupby("_pk").map_groups(
+                lambda df: _tdigest_compress(
+                    df["mean"].to_numpy(), df["weight"].to_numpy(), delta),
+                batch_format="pandas")
+    frames = [f for f in parts.iter_batches(batch_format="pandas",
+                                            batch_size=65536) if len(f)]
+    if not frames:
+        return pd.DataFrame({"mean": pd.Series([], dtype="float64"),
+                             "weight": pd.Series([], dtype="float64")})
+    allc = pd.concat(frames, ignore_index=True)
+    return _tdigest_compress(allc["mean"].to_numpy(),
+                             allc["weight"].to_numpy(), delta)
+
+
+def tdigest_quantile(digest: pd.DataFrame,
+                     qs: Sequence[float]) -> np.ndarray:
+    """Estimate quantiles from a digest by interpolating the cumulative
+    centroid weights at centroid midpoints (standard t-digest read)."""
+    if not len(digest):
+        return np.full(len(qs), np.nan)
+    m = digest["mean"].to_numpy(np.float64)
+    w = digest["weight"].to_numpy(np.float64)
+    total = w.sum()
+    cum = np.cumsum(w) - w / 2.0
+    return np.interp(np.asarray(qs, dtype=np.float64) * total, cum, m)

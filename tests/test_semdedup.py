@@ -1,0 +1,58 @@
+"""SemDeDup composition (stages/semdedup.py): planted paraphrase
+duplicates are dropped keep-first, cluster assignment is the argmax
+cosine, and the distributed component path yields the identical
+survivor set."""
+
+import numpy as np
+import pandas as pd
+import ray.data
+
+from recursive_pdf_extraction_and_rag_ray.stages import semdedup
+
+
+def _corpus(n=300, dim=32, n_dups=10, seed=7):
+    """Random unit vectors; ids 100..100+n_dups-1 are near-copies of
+    ids 0..n_dups-1 (cos > 0.99); every other pair is far below any
+    dedup threshold (random 32-d cosines concentrate near 0)."""
+    rng = np.random.default_rng(seed)
+    m = rng.normal(size=(n, dim))
+    for i in range(n_dups):
+        m[100 + i] = m[i] + rng.normal(scale=0.01, size=dim)
+    m /= np.linalg.norm(m, axis=1, keepdims=True)
+    return ray.data.from_pandas(pd.DataFrame({
+        "vec_id": np.arange(n, dtype=np.int64),
+        "embedding": [r.astype(np.float32) for r in m],
+    })).repartition(4)
+
+
+def test_assign_clusters_is_argmax_cosine(ray_session):
+    ds = _corpus(50, n_dups=0)
+    cents = np.eye(4, 32)
+    out = semdedup.assign_clusters(ds, cents).to_pandas() \
+        .sort_values("vec_id").reset_index(drop=True)
+    m = np.stack([np.asarray(v, dtype=np.float64)
+                  for v in out["embedding"]])
+    m /= np.linalg.norm(m, axis=1, keepdims=True)
+    expect = np.argmax(m @ cents.T, axis=1)
+    assert (out["sem_cluster"].to_numpy() == expect).all()
+
+
+def test_semantic_dedup_drops_planted_copies(ray_session):
+    ds = _corpus()
+    pairs = semdedup.semantic_neardup_pairs(ds, threshold=0.95) \
+        .to_pandas().sort_values("doc_a").reset_index(drop=True)
+    assert pairs["doc_a"].tolist() == list(range(10))
+    assert pairs["doc_b"].tolist() == [100 + i for i in range(10)]
+    surv = semdedup.semantic_dedup_keep_first(ds, threshold=0.95) \
+        .to_pandas()["vec_id"].sort_values().tolist()
+    assert surv == [i for i in range(300) if not 100 <= i < 110]
+
+
+def test_semantic_dedup_distributed_matches_driver(ray_session):
+    ds = _corpus(seed=8)
+    a = semdedup.semantic_dedup_keep_first(ds, threshold=0.95) \
+        .to_pandas()["vec_id"].sort_values().tolist()
+    b = semdedup.semantic_dedup_keep_first(ds, threshold=0.95,
+                                           distributed=True) \
+        .to_pandas()["vec_id"].sort_values().tolist()
+    assert a == b and len(a) == 290

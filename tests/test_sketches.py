@@ -63,3 +63,43 @@ def test_sketches_hash_strings_too(ray_session):
     assert est[0] >= 5000 // 37
     hll = sketch.hll_estimate(sketch.hll_build(ds, col="v"))
     assert abs(hll - 37) / 37 < 0.10
+
+
+def _rank_error(vals: np.ndarray, estimates: np.ndarray,
+                qs: np.ndarray) -> np.ndarray:
+    """|empirical rank of estimate - q| per target quantile."""
+    s = np.sort(vals)
+    ranks = np.searchsorted(s, estimates, side="left") / len(s)
+    return np.abs(ranks - qs)
+
+
+def test_tdigest_rank_error_bound(ray_session):
+    rng = np.random.default_rng(11)
+    vals = rng.lognormal(0.0, 2.0, 120_000)        # heavy right tail
+    ds = ray.data.from_pandas(pd.DataFrame({"v": vals})).repartition(10)
+    dig = sketch.tdigest_build(ds, "v")
+    assert len(dig) <= 2 * sketch.TDIGEST_DELTA
+    qs = np.array([0.001, 0.01, 0.25, 0.5, 0.75, 0.99, 0.999])
+    est = sketch.tdigest_quantile(dig, qs)
+    err = _rank_error(vals, est, qs)
+    assert err.max() < 0.01                        # mid-range bound
+    # k1 scale keeps the tails an order sharper than the middle bound
+    assert err[[0, 1, -2, -1]].max() < 0.002
+
+
+def test_tdigest_distributed_same_bound(ray_session):
+    rng = np.random.default_rng(12)
+    vals = rng.normal(100.0, 15.0, 60_000)
+    ds = ray.data.from_pandas(pd.DataFrame({"v": vals})).repartition(9)
+    qs = np.array([0.01, 0.5, 0.99])
+    for distributed in (False, True):
+        dig = sketch.tdigest_build(ds, "v", distributed=distributed)
+        err = _rank_error(vals, sketch.tdigest_quantile(dig, qs), qs)
+        assert err.max() < 0.01, f"distributed={distributed}"
+
+
+def test_tdigest_handles_nan_and_empty(ray_session):
+    ds = ray.data.from_pandas(pd.DataFrame({"v": [np.nan, np.nan]}))
+    dig = sketch.tdigest_build(ds, "v")
+    assert len(dig) == 0
+    assert np.isnan(sketch.tdigest_quantile(dig, [0.5])).all()
