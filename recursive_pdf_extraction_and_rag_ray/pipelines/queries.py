@@ -1798,6 +1798,191 @@ FROM split s LEFT JOIN agg a USING(doc_id)
 """
 
 
+# --- keyword retrieval / hybrid RAG family (stages/retrieval_text.py) -------
+# The reference retrieves by vector only (question_rag.py:130-194, Chroma
+# cosine top-k); these add the standard keyword complement (inverted index,
+# BM25) and RRF fusion of the two rankings — each with a full DuckDB oracle.
+
+BM25_TERMS = ["hash", "vector", "dup"]
+BM25_TERMS_SQL = "['hash', 'vector', 'dup']"
+RRF_DEPTH = 50
+RRF_K = 60
+
+
+def q_inverted_index(sf_dir):
+    """Sharded distributed inverted index over the corpus: one row per
+    (token, 1024-entry posting shard) with total df and 'id:tf,...'
+    postings ascending by doc_id. One coarse token-hash shuffle."""
+    from ..stages import retrieval_text
+
+    return retrieval_text.inverted_index(
+        _t(sf_dir, "documents", columns=["doc_id", "text"]))
+
+
+SQL_INVERTED_INDEX = r"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(list_filter(regexp_split_to_array(lower(text), '\s+'),
+                            x -> x <> '')) AS token
+  FROM documents),
+tf AS (SELECT token, doc_id, CAST(count(*) AS BIGINT) AS tf
+       FROM toks GROUP BY token, doc_id),
+num AS (
+  SELECT token, doc_id, tf,
+         row_number() OVER (PARTITION BY token ORDER BY doc_id) - 1 AS rn,
+         count(*) OVER (PARTITION BY token) AS df
+  FROM tf)
+SELECT token, CAST(rn // 1024 AS BIGINT) AS shard, CAST(df AS BIGINT) AS df,
+       string_agg(doc_id || ':' || tf, ',' ORDER BY doc_id) AS postings
+FROM num GROUP BY token, shard, df
+"""
+
+
+def q_bm25_topk(sf_dir):
+    """Okapi BM25 top-10 for a bag-of-words query: tiny stats pass
+    (N/avgdl/df partials), then a streaming scoring pass with per-batch
+    partial top-k. Scores float64, rounded 6 dp, ties by doc_id."""
+    from ..stages import retrieval_text
+
+    return retrieval_text.bm25_topk(
+        _t(sf_dir, "documents", columns=["doc_id", "text"]),
+        BM25_TERMS, k=10)
+
+
+# the arithmetic below mirrors stages/retrieval_text.py:bm25_topk term by
+# term (same literal order, float64 throughout) so the 6-dp rounded scores
+# hash-match: idf = ln((N-df+0.5)/(df+0.5)+1), one summand per matching
+# term, denominator k1*(1-b+b*dl/avgdl) with k1=1.2, b=0.75.
+SQL_BM25_TOPK = r"""
+WITH tokd AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '\s+'),
+                     x -> x <> '') AS toks
+  FROM documents),
+stats AS (
+  SELECT count(*) AS n,
+         CAST(sum(len(toks)) AS DOUBLE) / count(*) AS avgdl
+  FROM tokd),
+terms AS (SELECT unnest(__TERMS__) AS term),
+tf AS (
+  SELECT d.doc_id, t.term,
+         len(list_filter(d.toks, x -> x = t.term)) AS tf,
+         len(d.toks) AS dl
+  FROM tokd d CROSS JOIN terms t),
+dft AS (
+  SELECT term, count(*) FILTER (WHERE tf > 0) AS df FROM tf GROUP BY term),
+scored AS (
+  SELECT tf.doc_id,
+         sum(ln((s.n - d.df + 0.5) / (d.df + 0.5) + 1.0)
+             * tf.tf * (1.2 + 1.0)
+             / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * tf.dl / s.avgdl)))
+           AS score
+  FROM tf JOIN dft d USING (term) CROSS JOIN stats s
+  WHERE tf.tf > 0
+  GROUP BY tf.doc_id)
+SELECT doc_id, round(score, 6) AS score
+FROM scored
+ORDER BY round(score, 6) DESC, doc_id
+LIMIT 10
+""".replace("__TERMS__", BM25_TERMS_SQL)
+
+
+def q_boolean_search(sf_dir):
+    """Conjunctive keyword search: documents containing EVERY query term
+    (token equality, not substring) — pure streaming filter."""
+    from ..stages import retrieval_text
+
+    return retrieval_text.boolean_and_search(
+        _t(sf_dir, "documents", columns=["doc_id", "text"]), BM25_TERMS)
+
+
+SQL_BOOLEAN_SEARCH = r"""
+SELECT doc_id FROM documents
+WHERE len(list_filter(regexp_split_to_array(lower(text), '\s+'),
+                      x -> x = 'hash')) > 0
+  AND len(list_filter(regexp_split_to_array(lower(text), '\s+'),
+                      x -> x = 'vector')) > 0
+  AND len(list_filter(regexp_split_to_array(lower(text), '\s+'),
+                      x -> x = 'dup')) > 0
+"""
+
+
+def q_rrf_hybrid(sf_dir):
+    """Hybrid retrieval: BM25 keyword ranking fused with cosine vector
+    ranking by reciprocal-rank fusion, score = sum 1/(60 + rank) over
+    the two depth-50 lists. Each leg is the distributed operator; the
+    fusion itself is driver-side over 2 x 50 candidate rows."""
+    from ..stages import retrieval_text
+
+    bm = retrieval_text.bm25_topk(
+        _t(sf_dir, "documents", columns=["doc_id", "text"]),
+        BM25_TERMS, k=RRF_DEPTH)
+    q = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"),
+                      columns=["vec_id", "embedding"],
+                      filters=[("vec_id", "=", 0)])
+    qvec = np.asarray(q.column("embedding").to_pylist()[0], dtype=np.float64)
+    kn = similarity.knn_bruteforce(
+        _t(sf_dir, "embeddings", columns=["vec_id", "embedding"]),
+        qvec, k=RRF_DEPTH, exclude_ids=[0]).to_pandas()
+    kn = kn.sort_values(["cos_sim", "vec_id"], ascending=[False, True],
+                        kind="mergesort").rename(columns={"vec_id": "doc_id"})
+    return retrieval_text.rrf_fuse([bm, kn], id_col="doc_id", k=10,
+                                   rrf_k=RRF_K)
+
+
+SQL_RRF_HYBRID = r"""
+WITH tokd AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '\s+'),
+                     x -> x <> '') AS toks
+  FROM documents),
+stats AS (
+  SELECT count(*) AS n,
+         CAST(sum(len(toks)) AS DOUBLE) / count(*) AS avgdl
+  FROM tokd),
+terms AS (SELECT unnest(__TERMS__) AS term),
+tf AS (
+  SELECT d.doc_id, t.term,
+         len(list_filter(d.toks, x -> x = t.term)) AS tf,
+         len(d.toks) AS dl
+  FROM tokd d CROSS JOIN terms t),
+dft AS (
+  SELECT term, count(*) FILTER (WHERE tf > 0) AS df FROM tf GROUP BY term),
+scored AS (
+  SELECT tf.doc_id,
+         sum(ln((s.n - d.df + 0.5) / (d.df + 0.5) + 1.0)
+             * tf.tf * (1.2 + 1.0)
+             / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * tf.dl / s.avgdl)))
+           AS score
+  FROM tf JOIN dft d USING (term) CROSS JOIN stats s
+  WHERE tf.tf > 0
+  GROUP BY tf.doc_id),
+bm AS (
+  SELECT doc_id,
+         row_number() OVER (ORDER BY round(score, 6) DESC, doc_id) AS r
+  FROM scored
+  QUALIFY r <= 50),
+q AS (SELECT embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id = 0),
+kn AS (
+  SELECT e.vec_id AS doc_id,
+         row_number() OVER (
+           ORDER BY round(list_cosine_similarity(e.embedding::DOUBLE[],
+                                                 q.qe), 6) DESC,
+                    e.vec_id) AS r
+  FROM embeddings e, q
+  WHERE e.vec_id <> 0
+  QUALIFY r <= 50),
+fused AS (
+  SELECT doc_id, sum(1.0 / (60 + r)) AS s
+  FROM (SELECT * FROM bm UNION ALL SELECT * FROM kn)
+  GROUP BY doc_id)
+SELECT doc_id, round(s, 6) AS rrf_score
+FROM fused
+ORDER BY round(s, 6) DESC, doc_id
+LIMIT 10
+""".replace("__TERMS__", BM25_TERMS_SQL)
+
+
 def queries() -> Dict[str, Callable]:
     return {
         "agg_rollup": q_agg_rollup,
@@ -1862,6 +2047,10 @@ def queries() -> Dict[str, Callable]:
         "extract_pages": q_extract_pages,
         "rolling_fingerprint": q_rolling_fingerprint,
         "json_repair": q_json_repair,
+        "inverted_index": q_inverted_index,
+        "bm25_topk": q_bm25_topk,
+        "boolean_search": q_boolean_search,
+        "rrf_hybrid": q_rrf_hybrid,
     }
 
 
@@ -1901,6 +2090,10 @@ def oracle_sql() -> Dict[str, str]:
         "shuffle_rank": SQL_SHUFFLE_RANK,
         # pack_documents: greedy reset-scan not SQL-expressible -> rows-only
         # contamination: shingle hashing not SQL-expressible -> rows-only
+        "inverted_index": SQL_INVERTED_INDEX,
+        "bm25_topk": SQL_BM25_TOPK,
+        "boolean_search": SQL_BOOLEAN_SEARCH,
+        "rrf_hybrid": SQL_RRF_HYBRID,
         "dedup_exact": SQL_DEDUP_EXACT,
         "fingerprint": SQL_FINGERPRINT,
         "token_count": SQL_TOKEN_COUNT,
