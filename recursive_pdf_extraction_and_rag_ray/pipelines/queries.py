@@ -1983,6 +1983,86 @@ LIMIT 10
 """.replace("__TERMS__", BM25_TERMS_SQL)
 
 
+# --- snapshot / incremental-corpus operators ---------------------------------
+
+def q_latest_event_per_user(sf_dir):
+    """Keep-latest-snapshot dedup (the latest-crawl-per-url shape):
+    newest event per user, per-batch argmax partials so the shuffle
+    carries <= keys x batches rows (stages/temporal.py:keep_latest)."""
+    from ..stages import temporal
+
+    return temporal.keep_latest(
+        _t(sf_dir, "events", columns=["user_id", "ts", "event_id",
+                                      "event_type", "value"]),
+        key="user_id", ts="ts", order_tiebreak="event_id",
+        carry=["event_type", "value"],
+        pre_blocks=temporal.TEMPORAL_PRE_BLOCKS_DOC)
+
+
+SQL_LATEST_EVENT_PER_USER = """
+SELECT user_id, ts, event_id, event_type, value FROM (
+  SELECT *, row_number() OVER (PARTITION BY user_id
+                               ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events)
+WHERE rn = 1
+"""
+
+
+def q_duplicate_ngrams(sf_dir):
+    """Shared-span inventory (substring-dedup lite, Lee et al. setting):
+    every 5-word gram in >= 2 distinct docs with doc/occurrence counts
+    (stages/corpusfilters.py:duplicate_ngrams)."""
+    from ..stages import corpusfilters
+
+    return corpusfilters.duplicate_ngrams(
+        _t(sf_dir, "documents", columns=["doc_id", "text"]))
+
+
+SQL_DUPLICATE_NGRAMS = r"""
+WITH tokd AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '\s+'),
+                     x -> x <> '') AS toks
+  FROM documents),
+grams AS (
+  SELECT doc_id, array_to_string(toks[i:i+4], ' ') AS gram
+  FROM tokd, unnest(range(1, len(toks) - 3)) AS t(i)
+  WHERE len(toks) >= 5)
+SELECT gram, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       CAST(count(*) AS BIGINT) AS n_occ
+FROM grams GROUP BY gram
+HAVING count(DISTINCT doc_id) >= 2
+"""
+
+INCR_DEDUP_CUT = 250
+
+
+def q_incremental_dedup(sf_dir):
+    """Bloom-filtered incremental dedup: new shard (doc_id >= 250)
+    against the existing corpus (doc_id < 250). Bloom-negative rows
+    pass with zero shuffle; only bloom-positive candidates pay the
+    exact anti-join, so the survivor set is exact
+    (stages/dedup.py:incremental_dedup_bloom)."""
+    from ..stages import dedup as dedup_mod
+
+    docs = _t(sf_dir, "documents", columns=["doc_id", "text"])
+    old = docs.map_batches(
+        lambda t: t.filter(pc.less(t["doc_id"], INCR_DEDUP_CUT)),
+        batch_format="pyarrow")
+    new = docs.map_batches(
+        lambda t: t.filter(pc.greater_equal(t["doc_id"], INCR_DEDUP_CUT)),
+        batch_format="pyarrow")
+    return dedup_mod.incremental_dedup_bloom(new, old)
+
+
+SQL_INCREMENTAL_DEDUP = f"""
+SELECT n.doc_id FROM documents n
+WHERE n.doc_id >= {INCR_DEDUP_CUT} AND NOT EXISTS (
+  SELECT 1 FROM documents o
+  WHERE o.doc_id < {INCR_DEDUP_CUT} AND md5(o.text) = md5(n.text))
+"""
+
+
 def queries() -> Dict[str, Callable]:
     return {
         "agg_rollup": q_agg_rollup,
@@ -2051,6 +2131,9 @@ def queries() -> Dict[str, Callable]:
         "bm25_topk": q_bm25_topk,
         "boolean_search": q_boolean_search,
         "rrf_hybrid": q_rrf_hybrid,
+        "latest_event_per_user": q_latest_event_per_user,
+        "duplicate_ngrams": q_duplicate_ngrams,
+        "incremental_dedup": q_incremental_dedup,
     }
 
 
@@ -2094,6 +2177,9 @@ def oracle_sql() -> Dict[str, str]:
         "bm25_topk": SQL_BM25_TOPK,
         "boolean_search": SQL_BOOLEAN_SEARCH,
         "rrf_hybrid": SQL_RRF_HYBRID,
+        "latest_event_per_user": SQL_LATEST_EVENT_PER_USER,
+        "duplicate_ngrams": SQL_DUPLICATE_NGRAMS,
+        "incremental_dedup": SQL_INCREMENTAL_DEDUP,
         "dedup_exact": SQL_DEDUP_EXACT,
         "fingerprint": SQL_FINGERPRINT,
         "token_count": SQL_TOKEN_COUNT,

@@ -391,3 +391,72 @@ def mark_contamination(ds, benchmark_texts: Sequence[str], *,
         concurrency=concurrency or (1, 8),
         fn_constructor_kwargs={"shingles_ref": ref, "n": n,
                                "min_hits": min_hits})
+
+
+# --- shared-span inventory (exact substring-dedup lite) ----------------------
+# Deduplicating repeated SPANS (not whole documents) is the Lee et al.
+# "Deduplicating Training Data Makes Language Models Better" setting; the
+# full suffix-array construction is replaced here by its bounded practical
+# core: an exact inventory of every word n-gram that appears in 2+ distinct
+# documents, with occurrence counts — the candidate span set a dedup or
+# boilerplate pass consumes.
+
+SPAN_NGRAM = 5
+
+
+def _gram_rows(df: pd.DataFrame, *, id_col: str, text_col: str,
+               n: int) -> pd.DataFrame:
+    """(doc_id, gram) rows for one batch, fully vectorized: one explode,
+    then n-1 shifted string concats with a same-doc run mask — no
+    per-row Python loop."""
+    toks = df[text_col].fillna("").str.lower().str.split()
+    ex = toks.explode()
+    ex = ex[ex.notna()]
+    if not len(ex):
+        return pd.DataFrame({id_col: pd.Series([], dtype="int64"),
+                             "gram": pd.Series([], dtype="object")})
+    ids = df[id_col].to_numpy()[
+        df.index.get_indexer(ex.index.to_numpy())]
+    d = pd.DataFrame({id_col: ids, "tok": ex.to_numpy()})
+    gram = d["tok"].copy()
+    same = np.ones(len(d), dtype=bool)
+    doc = d[id_col]
+    for s in range(1, n):
+        same &= (doc.shift(-s) == doc).to_numpy()
+        gram = gram + " " + d["tok"].shift(-s)
+    return pd.DataFrame({id_col: d[id_col], "gram": gram})[same]
+
+
+def duplicate_ngrams(ds, *, id_col: str = "doc_id", text_col: str = "text",
+                     n: int = SPAN_NGRAM, min_docs: int = 2,
+                     reduce_partitions: int = 64):
+    """Every word ``n``-gram appearing in >= ``min_docs`` distinct
+    documents, with the distinct-doc and total-occurrence counts.
+
+    Scale shape: per-batch (gram, doc, occurrences) partials are FINAL
+    (a doc never spans batches), pre-aggregated before the single
+    coarse gram-hash shuffle; the per-partition reduce is one
+    vectorized groupby. Output is bounded by the shared-gram inventory,
+    which real corpora keep far below the gram stream (and the
+    ``min_docs`` filter drops the singleton long tail before it ever
+    reaches the driver or a sink)."""
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = _gram_rows(df, id_col=id_col, text_col=text_col, n=n)
+        out = g.groupby(["gram", id_col], as_index=False, sort=False) \
+            .size().rename(columns={"size": "n_occ"})
+        h = pd.util.hash_array(out["gram"].to_numpy())
+        out["_pk"] = (h % reduce_partitions).astype("int64")
+        return out.astype({"n_occ": "int64"})
+
+    def reduce_partition(g: pd.DataFrame) -> pd.DataFrame:
+        agg = g.groupby("gram", as_index=False, sort=False) \
+            .agg(n_docs=(id_col, "size"), n_occ=("n_occ", "sum"))
+        agg = agg[agg["n_docs"] >= min_docs]
+        return agg.astype({"n_docs": "int64", "n_occ": "int64"})
+
+    parts = ds.select_columns([id_col, text_col]).map_batches(
+        partial, batch_format="pandas")
+    return parts.groupby("_pk").map_groups(
+        lambda g: reduce_partition(g.drop(columns=["_pk"])),
+        batch_format="pandas")

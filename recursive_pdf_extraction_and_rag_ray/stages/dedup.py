@@ -156,3 +156,100 @@ class MarkDuplicatesFromBroadcast:
         u = pd.Series(t.column("url").to_pylist())
         dup = w.where(w.notna() & (w != u), "").to_numpy()
         return t.append_column("duplicate_of", pa.array(dup, pa.string()))
+
+
+# --- bloom-filtered incremental dedup ----------------------------------------
+# Dedup a NEW shard/snapshot against an EXISTING corpus without shuffling
+# the existing corpus per run: build a fixed-size Bloom filter over the old
+# fingerprints once (mergeable per-batch partials, like the HLL/CMS sketches
+# in stages/sketch.py), broadcast it, and let every new-side batch drop the
+# definitely-unseen rows locally. Only the bloom-positive CANDIDATES — a
+# sliver of the new data — pay the exact anti-join, so the result is exact
+# (bloom false positives are re-verified, never trusted).
+
+BLOOM_BITS = 1 << 23       # 1 MiB bitmap: <1% fp at ~1e6 entries, k=4
+BLOOM_HASHES = 4
+
+
+def _bloom_positions(fp_hex, bits: int, k: int):
+    """k bit positions per md5-hex fingerprint, derived from disjoint
+    16-bit-shifted windows of the integer md5 — deterministic across
+    processes (no PYTHONHASHSEED dependence)."""
+    import numpy as np
+    vals = np.asarray([int(f[:16], 16) for f in fp_hex], dtype=np.uint64)
+    pos = np.empty((len(vals), k), dtype=np.int64)
+    for j in range(k):
+        pos[:, j] = ((vals >> np.uint64(16 * j)) % np.uint64(bits)).astype(
+            np.int64)
+    return pos
+
+
+def bloom_from_docs(docs: "ray.data.Dataset", *, bits: int = BLOOM_BITS,
+                    k: int = BLOOM_HASHES) -> "np.ndarray":
+    """Bloom bitmap over md5(text) of every row. Each batch emits its
+    SET BIT POSITIONS (slim, <= rows x k int64s) rather than a full
+    bitmap; the driver unions positions into one fixed-size bitmap —
+    a mergeable-sketch combine, bounded by ``bits`` not corpus size."""
+    import numpy as np
+    import pandas as pd
+
+    from .textstats import fingerprint_batch
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        fp = fingerprint_batch(df)["fp"]
+        pos = _bloom_positions(fp.to_numpy(), bits, k).ravel()
+        return pd.DataFrame({"pos": np.unique(pos)})
+
+    bitmap = np.zeros(bits, dtype=bool)
+    for b in docs.map_batches(partial, batch_format="pandas") \
+            .iter_batches(batch_format="pandas", batch_size=65536):
+        bitmap[b["pos"].to_numpy()] = True
+    return bitmap
+
+
+def incremental_dedup_bloom(new_docs: "ray.data.Dataset",
+                            old_docs: "ray.data.Dataset", *,
+                            id_col: str = "doc_id",
+                            bits: int = BLOOM_BITS,
+                            k: int = BLOOM_HASHES) -> "ray.data.Dataset":
+    """ids of ``new_docs`` whose text does NOT already exist in
+    ``old_docs`` (exact, not probabilistic): bloom-negative rows pass
+    locally with zero shuffle; bloom-positive candidates are verified
+    by an exact distributed anti-join on the fingerprint."""
+    import numpy as np
+    import pandas as pd
+    import ray
+
+    from . import joins
+    from .textstats import fingerprint_batch
+
+    bloom_ref = ray.put(bloom_from_docs(old_docs, bits=bits, k=k))
+
+    class BloomProbe:
+        """Actor-pool probe: bitmap fetched once per actor, not per
+        batch. Emits (id, fp, cand) — cand=False rows are PROVEN new
+        (bloom has no false negatives), so ONE fingerprint+probe pass
+        feeds both branches."""
+
+        def __init__(self, ref):
+            self.bitmap = ray.get(ref)
+
+        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+            fp = fingerprint_batch(df)["fp"]
+            pos = _bloom_positions(fp.to_numpy(), bits, k)
+            return pd.DataFrame({id_col: df[id_col].to_numpy(),
+                                 "fp": fp.to_numpy(),
+                                 "cand": self.bitmap[pos].all(axis=1)})
+
+    probed = new_docs.select_columns([id_col, "text"]).map_batches(
+        BloomProbe, fn_constructor_args=(bloom_ref,),
+        batch_format="pandas", concurrency=(1, 8))
+    sure_new = probed.map_batches(
+        lambda df: df[~df["cand"]][[id_col]], batch_format="pandas")
+    candidates = probed.map_batches(
+        lambda df: df[df["cand"]][[id_col, "fp"]], batch_format="pandas")
+    old_fp = old_docs.map_batches(
+        fingerprint_batch, batch_format="pandas").select_columns(["fp"])
+    verified = joins.anti_join(candidates, old_fp, on="fp") \
+        .select_columns([id_col])
+    return sure_new.union(verified)

@@ -60,13 +60,26 @@ def _pd_dtype_map(sch) -> dict:
     return out
 
 
+def _key_for_pkey(arr: np.ndarray) -> np.ndarray:
+    """int64 partition-hash input for any key dtype: integers pass
+    through; strings/objects go through pandas' deterministic siphash
+    (fixed default hash key — stable across processes, unlike
+    ``hash()``). Only PARTITIONING uses this hash; the probe compares
+    the actual key values, so string keys stay exact."""
+    if np.dtype(arr.dtype).kind in "iu":
+        return arr.astype("int64")
+    return pd.util.hash_array(arr).view("int64")
+
+
 def semi_anti_join(left, right, *, on: str, anti: bool,
                    coarse: int = TEMPORAL_COARSE_GROUPS,
                    pre_blocks: Optional[int] = None):
     """Filter ``left`` by key membership in ``right[on]``. ``anti=False``
     keeps matches (semi), ``anti=True`` keeps non-matches. Left columns
-    pass through unchanged; key must be int64 (hash string keys
-    upstream, functions/textproc.py:stable_hash64)."""
+    pass through unchanged. The key may be int64 OR string: strings are
+    siphashed only to pick the coarse partition, and the per-partition
+    ``isin`` probes the full values, so e.g. md5-fingerprint anti-joins
+    stay exact (no truncated-hash collision risk)."""
     sch = left.schema()
     left_cols = list(sch.names)
     pd_dtypes = _pd_dtype_map(sch)
@@ -77,7 +90,7 @@ def semi_anti_join(left, right, *, on: str, anti: bool,
         return df
 
     def _tag_shrink_right(df: pd.DataFrame, on: str) -> pd.DataFrame:
-        k = np.unique(df[on].to_numpy().astype("int64"))
+        k = np.unique(df[on].to_numpy())
         out = pd.DataFrame(index=pd.RangeIndex(len(k)))
         for c in left_cols:
             out[c] = k.astype(pd_dtypes[on]) if c == on \
@@ -87,7 +100,7 @@ def semi_anti_join(left, right, *, on: str, anti: bool,
 
     def add_pkey(df: pd.DataFrame) -> pd.DataFrame:
         df = df.copy()
-        df["_pkey"] = _knuth_pkey(df[on].to_numpy().astype("int64"), coarse)
+        df["_pkey"] = _knuth_pkey(_key_for_pkey(df[on].to_numpy()), coarse)
         return df
 
     both = left.map_batches(tag_left, batch_format="pandas") \

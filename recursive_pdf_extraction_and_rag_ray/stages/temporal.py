@@ -218,3 +218,40 @@ def rolling_window(events: "ray.data.Dataset", *, key: str, ts: str,
     if pre_blocks:
         tagged = tagged.repartition(pre_blocks)
     return tagged.groupby("_pkey").map_groups(roll, batch_format="pandas")
+
+
+def keep_latest(events: "ray.data.Dataset", *, key: str, ts: str,
+                order_tiebreak: str, carry: List[str],
+                coarse: int = TEMPORAL_COARSE_GROUPS,
+                pre_blocks: Optional[int] = None) -> "ray.data.Dataset":
+    """Per-key argmax snapshot: the single newest row for each key
+    (latest ``ts``, ties broken by highest ``order_tiebreak``) — the
+    keep-latest-crawl-per-url dedup a Common-Crawl corpus needs across
+    snapshots (SQL: row_number() OVER (PARTITION BY key ORDER BY ts
+    DESC, tiebreak DESC) = 1).
+
+    Scale shape: a per-BATCH partial keep-latest first (each batch
+    contributes at most one row per key it saw), so the coarse-key
+    shuffle carries <= keys x batches rows, never the event stream; the
+    final per-partition reduce is one vectorized sort +
+    drop_duplicates. A key's rows never need co-location before the
+    partial because argmax is associative."""
+    cols = [key, ts, order_tiebreak] + [
+        c for c in carry if c not in (key, ts, order_tiebreak)]
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values([key, ts, order_tiebreak], kind="mergesort")
+        out = df.drop_duplicates(subset=[key], keep="last").copy()
+        out["_pkey"] = _knuth_pkey(out[key].to_numpy(), coarse)
+        return out
+
+    def reduce_partition(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([key, ts, order_tiebreak], kind="mergesort")
+        return g.drop_duplicates(subset=[key], keep="last")[cols]
+
+    tagged = events.select_columns(cols).map_batches(
+        partial, batch_format="pandas")
+    if pre_blocks:
+        tagged = tagged.repartition(pre_blocks)
+    return tagged.groupby("_pkey").map_groups(reduce_partition,
+                                              batch_format="pandas")
