@@ -2063,6 +2063,69 @@ WHERE n.doc_id >= {INCR_DEDUP_CUT} AND NOT EXISTS (
 """
 
 
+MIX_QUOTAS = {"src0": 12, "src1": 8, "src2": 4, "src3": 2, "src4": 1}
+
+
+def q_mixture_sample(sf_dir):
+    """Domain-mixture resampling: EXACT per-source quotas selected in
+    deterministic hash order (stages/sampling.py:sample_quota) — the
+    data-mixing primitive for hitting a target domain distribution
+    exactly, where rate-based sampling only hits it in expectation."""
+    from ..stages import sampling
+
+    return sampling.sample_quota(
+        _t(sf_dir, "documents", columns=["doc_id", "source"]),
+        key_col="doc_id", group_col="source", quotas=MIX_QUOTAS)
+
+
+SQL_MIXTURE_SAMPLE = """
+WITH ranked AS (
+  SELECT doc_id, source,
+         row_number() OVER (PARTITION BY source
+           ORDER BY (doc_id * 2654435761) % 4294967296, doc_id) AS rn
+  FROM documents),
+q(source, quota) AS (VALUES
+  ('src0', 12), ('src1', 8), ('src2', 4), ('src3', 2), ('src4', 1))
+SELECT r.doc_id, r.source FROM ranked r JOIN q USING (source)
+WHERE r.rn <= q.quota
+"""
+
+
+def q_bigram_pmi(sf_dir):
+    """Top-20 adjacent-bigram collocations by PMI with min count 5
+    (stages/corpusfilters.py:bigram_pmi): value-count partials, tiny
+    combined tables, pure mult/div/ln float64 mirrored in the SQL."""
+    from ..stages import corpusfilters
+
+    return corpusfilters.bigram_pmi(
+        _t(sf_dir, "documents", columns=["text"]))
+
+
+SQL_BIGRAM_PMI = r"""
+WITH tokd AS (
+  SELECT list_filter(regexp_split_to_array(lower(text), '\s+'),
+                     x -> x <> '') AS toks
+  FROM documents),
+uni AS (SELECT unnest(toks) AS w FROM tokd),
+ucnt AS (SELECT w, count(*) AS c FROM uni GROUP BY w),
+tot AS (SELECT CAST(count(*) AS DOUBLE) AS t FROM uni),
+big AS (SELECT toks[i] AS a, toks[i+1] AS b
+        FROM tokd, unnest(range(1, len(toks))) AS r(i)
+        WHERE len(toks) >= 2),
+bcnt AS (SELECT a, b, count(*) AS cab FROM big GROUP BY a, b),
+btot AS (SELECT CAST(count(*) AS DOUBLE) AS bt FROM big)
+SELECT a || ' ' || b AS bigram, CAST(cab AS BIGINT) AS n,
+       round(ln((CAST(cab AS DOUBLE) / bt) /
+                ((CAST(ua.c AS DOUBLE) / t)
+                 * (CAST(ub.c AS DOUBLE) / t))), 6) AS pmi
+FROM bcnt JOIN ucnt ua ON bcnt.a = ua.w JOIN ucnt ub ON bcnt.b = ub.w
+CROSS JOIN tot CROSS JOIN btot
+WHERE cab >= 5
+ORDER BY pmi DESC, bigram
+LIMIT 20
+"""
+
+
 def queries() -> Dict[str, Callable]:
     return {
         "agg_rollup": q_agg_rollup,
@@ -2134,6 +2197,8 @@ def queries() -> Dict[str, Callable]:
         "latest_event_per_user": q_latest_event_per_user,
         "duplicate_ngrams": q_duplicate_ngrams,
         "incremental_dedup": q_incremental_dedup,
+        "mixture_sample": q_mixture_sample,
+        "bigram_pmi": q_bigram_pmi,
     }
 
 
@@ -2180,6 +2245,8 @@ def oracle_sql() -> Dict[str, str]:
         "latest_event_per_user": SQL_LATEST_EVENT_PER_USER,
         "duplicate_ngrams": SQL_DUPLICATE_NGRAMS,
         "incremental_dedup": SQL_INCREMENTAL_DEDUP,
+        "mixture_sample": SQL_MIXTURE_SAMPLE,
+        "bigram_pmi": SQL_BIGRAM_PMI,
         "dedup_exact": SQL_DEDUP_EXACT,
         "fingerprint": SQL_FINGERPRINT,
         "token_count": SQL_TOKEN_COUNT,

@@ -460,3 +460,78 @@ def duplicate_ngrams(ds, *, id_col: str = "doc_id", text_col: str = "text",
     return parts.groupby("_pk").map_groups(
         lambda g: reduce_partition(g.drop(columns=["_pk"])),
         batch_format="pandas")
+
+
+# --- collocation mining (PMI) ------------------------------------------------
+
+PMI_MIN_COUNT = 5
+
+
+def bigram_pmi(ds, *, text_col: str = "text", min_count: int = PMI_MIN_COUNT,
+               k: int = 20, distributed: bool = False) -> pd.DataFrame:
+    """Top-k adjacent-bigram collocations by pointwise mutual
+    information: pmi = ln((c_ab/B) / ((c_a/T) * (c_b/T))) over corpus
+    unigram/bigram counts — the classic collocation-extraction
+    statistic, useful for tokenizer/vocab curation over a training
+    corpus.
+
+    Scale shape: unigram and bigram counts are per-batch value-count
+    partials combined through stages/sketch.py:_combine_value_counts
+    (driver combine bounded by vocabulary x batches; pass
+    ``distributed=True`` for the hash-partitioned reduce when the
+    bigram vocabulary is corpus-scale). The PMI arithmetic happens once
+    on the combined count tables, with the exact float expression
+    mirrored in the SQL oracle (pure mult/div/ln of doubles — bitwise
+    reproducible)."""
+    from . import sketch
+
+    def uni_partial(df: pd.DataFrame) -> pd.DataFrame:
+        blob = " ".join(df[text_col].fillna("")).lower()
+        toks = np.asarray(blob.split(), dtype=object)
+        if not len(toks):
+            return pd.DataFrame({"w": pd.Series([], dtype="object"),
+                                 "n": pd.Series([], dtype="int64")})
+        vals, counts = np.unique(toks, return_counts=True)
+        return pd.DataFrame({"w": vals, "n": counts.astype("int64")})
+
+    def bi_partial(df: pd.DataFrame) -> pd.DataFrame:
+        toks = df[text_col].fillna("").str.lower().str.split()
+        ex = toks.explode()
+        ex = ex[ex.notna()]
+        if len(ex) < 2:
+            return pd.DataFrame({"bigram": pd.Series([], dtype="object"),
+                                 "n": pd.Series([], dtype="int64")})
+        d = pd.DataFrame({"doc": df.index.get_indexer(ex.index.to_numpy()),
+                          "tok": ex.to_numpy()})
+        nxt = d["tok"].shift(-1)
+        same = (d["doc"].shift(-1) == d["doc"]).to_numpy()
+        bi = (d["tok"] + " " + nxt)[same]
+        if not len(bi):
+            return pd.DataFrame({"bigram": pd.Series([], dtype="object"),
+                                 "n": pd.Series([], dtype="int64")})
+        vals, counts = np.unique(bi.to_numpy(), return_counts=True)
+        return pd.DataFrame({"bigram": vals, "n": counts.astype("int64")})
+
+    sel = ds.select_columns([text_col])
+    uni = sketch._combine_value_counts(
+        sel.map_batches(uni_partial, batch_format="pandas"), "w",
+        distributed)
+    bi = sketch._combine_value_counts(
+        sel.map_batches(bi_partial, batch_format="pandas"), "bigram",
+        distributed)
+    if not len(bi):
+        return pd.DataFrame({"bigram": pd.Series([], dtype="object"),
+                             "n": pd.Series([], dtype="int64"),
+                             "pmi": pd.Series([], dtype="float64")})
+    t = float(uni["n"].sum())
+    b_tot = float(bi["n"].sum())
+    ucnt = dict(zip(uni["w"], uni["n"].astype(float)))
+    bi = bi[bi["n"] >= min_count].copy()
+    parts = bi["bigram"].str.split(" ", n=1, expand=True)
+    ca = parts[0].map(ucnt).to_numpy(dtype="float64")
+    cb = parts[1].map(ucnt).to_numpy(dtype="float64")
+    cab = bi["n"].to_numpy(dtype="float64")
+    bi["pmi"] = np.round(np.log((cab / b_tot) / ((ca / t) * (cb / t))), 6)
+    out = bi.sort_values(["pmi", "bigram"], ascending=[False, True],
+                         kind="mergesort").head(k)
+    return out.reset_index(drop=True).astype({"n": "int64"})

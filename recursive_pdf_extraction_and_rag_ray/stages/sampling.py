@@ -55,3 +55,34 @@ def sample_stratified(ds, *, key_col: str, group_col: str,
         return df[m].reset_index(drop=True)
 
     return ds.map_batches(f, batch_format="pandas")
+
+
+def sample_quota(ds, *, key_col: str, group_col: str,
+                 quotas: Dict[str, int]):
+    """Exact per-group QUOTAS (domain-mixture resampling): from each
+    group take exactly ``quotas[g]`` rows (fewer only if the group is
+    smaller), chosen in deterministic pseudo-random order — ascending
+    ``(knuth_hash(key), key)`` — so the selected set is reproducible
+    and SQL-checkable (``row_number() OVER (PARTITION BY g ORDER BY
+    hash) <= quota``). This is the data-mixing primitive for hitting a
+    target domain distribution, where rate-based sampling
+    (sample_stratified) can only hit it in expectation.
+
+    Scale shape: per-BATCH partial top-quota per group first — the
+    selection is a per-group min-k over the hash, which is associative
+    — so the single groupby shuffle carries <= quota x batches rows per
+    group, never the corpus. Groups are domains/languages (tens to
+    thousands): far below the coarse-partition count, and each final
+    group is quota-bounded."""
+    def select(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df[group_col].isin(quotas)].copy()
+        df["_h"] = (df[key_col].to_numpy().astype("int64")
+                    * KNUTH) % (1 << 32)
+        df = df.sort_values(["_h", key_col], kind="mergesort")
+        q = df[group_col].map(quotas).to_numpy(dtype="int64")
+        keep = df.groupby(group_col, sort=False).cumcount().to_numpy() < q
+        return df[keep]
+
+    parts = ds.map_batches(select, batch_format="pandas")
+    return parts.groupby(group_col).map_groups(
+        select, batch_format="pandas").drop_columns(["_h"])
