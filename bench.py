@@ -50,6 +50,9 @@ BENCH_QUERIES = [
     "shuffle_rank", "pack_documents",
     "cms_event_counts", "hll_distinct_users",
     "tdigest_value_quantiles", "semantic_dedup",
+    "inverted_index", "bm25_topk", "rrf_hybrid",
+    "latest_event_per_user", "duplicate_ngrams", "incremental_dedup",
+    "mixture_sample", "bigram_pmi",
 ]
 
 

@@ -2043,15 +2043,20 @@ def q_incremental_dedup(sf_dir):
     pass with zero shuffle; only bloom-positive candidates pay the
     exact anti-join, so the survivor set is exact
     (stages/dedup.py:incremental_dedup_bloom)."""
+    import pyarrow.dataset as pads
+
     from ..stages import dedup as dedup_mod
 
-    docs = _t(sf_dir, "documents", columns=["doc_id", "text"])
-    old = docs.map_batches(
-        lambda t: t.filter(pc.less(t["doc_id"], INCR_DEDUP_CUT)),
-        batch_format="pyarrow")
-    new = docs.map_batches(
-        lambda t: t.filter(pc.greater_equal(t["doc_id"], INCR_DEDUP_CUT)),
-        batch_format="pyarrow")
+    # old/new split pushed into the parquet read: row-group statistics
+    # skip the other side's data instead of scanning the text column
+    # twice and filtering after the fact
+    path = os.path.join(sf_dir, "documents.parquet")
+    old = ray.data.read_parquet(
+        path, columns=["doc_id", "text"],
+        filter=(pads.field("doc_id") < INCR_DEDUP_CUT))
+    new = ray.data.read_parquet(
+        path, columns=["doc_id", "text"],
+        filter=(pads.field("doc_id") >= INCR_DEDUP_CUT))
     return dedup_mod.incremental_dedup_bloom(new, old)
 
 

@@ -207,15 +207,23 @@ def bloom_from_docs(docs: "ray.data.Dataset", *, bits: int = BLOOM_BITS,
     return bitmap
 
 
+BCAST_OLD_KEYS_MAX = 2_000_000
+
+
 def incremental_dedup_bloom(new_docs: "ray.data.Dataset",
                             old_docs: "ray.data.Dataset", *,
                             id_col: str = "doc_id",
                             bits: int = BLOOM_BITS,
-                            k: int = BLOOM_HASHES) -> "ray.data.Dataset":
+                            k: int = BLOOM_HASHES,
+                            broadcast_old_keys=None) -> "ray.data.Dataset":
     """ids of ``new_docs`` whose text does NOT already exist in
     ``old_docs`` (exact, not probabilistic): bloom-negative rows pass
     locally with zero shuffle; bloom-positive candidates are verified
-    by an exact distributed anti-join on the fingerprint."""
+    by an exact anti-join on the fingerprint. The verify leg picks its
+    shape by old-side size (``broadcast_old_keys=None`` decides from a
+    count): small old corpus -> broadcast the old key set and probe
+    candidates locally; corpus-scale old -> hash-partitioned
+    distributed anti-join."""
     import numpy as np
     import pandas as pd
     import ray
@@ -241,15 +249,29 @@ def incremental_dedup_bloom(new_docs: "ray.data.Dataset",
                                  "fp": fp.to_numpy(),
                                  "cand": self.bitmap[pos].all(axis=1)})
 
+    # Two consumers (sure-new filter, candidate anti-join) would re-run
+    # the fingerprint+probe lineage twice; materialize the SLIM probe
+    # table once instead — (id, 32-char fp, bool) per new row, a small
+    # fraction of the text bytes it replaces, and spillable.
     probed = new_docs.select_columns([id_col, "text"]).map_batches(
         BloomProbe, fn_constructor_args=(bloom_ref,),
-        batch_format="pandas", concurrency=(1, 8))
+        batch_format="pandas", concurrency=(1, 8)).materialize()
     sure_new = probed.map_batches(
         lambda df: df[~df["cand"]][[id_col]], batch_format="pandas")
     candidates = probed.map_batches(
         lambda df: df[df["cand"]][[id_col, "fp"]], batch_format="pandas")
     old_fp = old_docs.map_batches(
         fingerprint_batch, batch_format="pandas").select_columns(["fp"])
-    verified = joins.anti_join(candidates, old_fp, on="fp") \
-        .select_columns([id_col])
+    if broadcast_old_keys is None:
+        broadcast_old_keys = old_docs.count() <= BCAST_OLD_KEYS_MAX
+    if broadcast_old_keys:
+        verified = joins.anti_join(candidates, old_fp, on="fp",
+                                   broadcast=True).select_columns([id_col])
+    else:
+        # candidates are a bloom-filtered sliver: coalesce their many
+        # tiny blocks and use a moderate partition count — the 256-way
+        # default pays pure shuffle machinery on near-empty groups
+        verified = joins.anti_join(candidates, old_fp, on="fp",
+                                   coarse=64, pre_blocks=16) \
+            .select_columns([id_col])
     return sure_new.union(verified)

@@ -73,7 +73,8 @@ def _key_for_pkey(arr: np.ndarray) -> np.ndarray:
 
 def semi_anti_join(left, right, *, on: str, anti: bool,
                    coarse: int = TEMPORAL_COARSE_GROUPS,
-                   pre_blocks: Optional[int] = None):
+                   pre_blocks: Optional[int] = None,
+                   broadcast: bool = False):
     """Filter ``left`` by key membership in ``right[on]``. ``anti=False``
     keeps matches (semi), ``anti=True`` keeps non-matches. Left columns
     pass through unchanged. The key may be int64 OR string: strings are
@@ -83,6 +84,29 @@ def semi_anti_join(left, right, *, on: str, anti: bool,
     sch = left.schema()
     left_cols = list(sch.names)
     pd_dtypes = _pd_dtype_map(sch)
+
+    if broadcast:
+        # small-right path: ship the right side's distinct keys once
+        # (ray.put -> fetched once per task) and probe each left batch
+        # locally — zero shuffle, one streaming pass. Caller asserts
+        # the right-key set fits a worker heap; the shuffled path below
+        # is the default for corpus-sized right sides.
+        import ray as _ray
+
+        frames = list(right.select_columns([on]).map_batches(
+            lambda df: pd.DataFrame({on: df[on].unique()}),
+            batch_format="pandas").iter_batches(
+                batch_format="pandas", batch_size=65536))
+        keys = (pd.concat(frames, ignore_index=True)[on].unique()
+                if frames else np.array([], dtype=object))
+        keys_ref = _ray.put(keys)
+
+        def probe_bcast(df: pd.DataFrame) -> pd.DataFrame:
+            hit = df[on].isin(_ray.get(keys_ref)).to_numpy()
+            out = df[~hit] if anti else df[hit]
+            return out[left_cols].reset_index(drop=True)
+
+        return left.map_batches(probe_bcast, batch_format="pandas")
 
     def tag_left(df: pd.DataFrame) -> pd.DataFrame:
         df = df.copy()

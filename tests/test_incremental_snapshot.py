@@ -73,6 +73,10 @@ def test_incremental_dedup_tiny_bloom_false_positives_verified():
                 start=100)
     out = dedup.incremental_dedup_bloom(new, old, bits=8, k=2).to_pandas()
     assert sorted(out["doc_id"]) == list(range(100, 150))
+    # same survivors through the forced DISTRIBUTED verify leg
+    out2 = dedup.incremental_dedup_bloom(
+        new, old, bits=8, k=2, broadcast_old_keys=False).to_pandas()
+    assert sorted(out2["doc_id"]) == list(range(100, 150))
 
 
 def test_bloom_no_false_negatives():
