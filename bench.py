@@ -52,7 +52,7 @@ BENCH_QUERIES = [
     "tdigest_value_quantiles", "semantic_dedup",
     "inverted_index", "bm25_topk", "rrf_hybrid",
     "latest_event_per_user", "duplicate_ngrams", "incremental_dedup",
-    "mixture_sample", "bigram_pmi",
+    "mixture_sample", "bigram_pmi", "funnel", "weighted_sample",
 ]
 
 

@@ -2131,6 +2131,62 @@ LIMIT 20
 """
 
 
+FUNNEL_STAGES = ["view", "click", "purchase"]
+
+
+def q_funnel(sf_dir):
+    """Ordered funnel over the event stream: users completing
+    view -> click -> purchase strictly in ts order, one count per
+    stage prefix (stages/temporal.py:funnel_counts)."""
+    from ..stages import temporal
+
+    return temporal.funnel_counts(
+        _t(sf_dir, "events", columns=["user_id", "ts", "event_type"]),
+        key="user_id", ts="ts", type_col="event_type",
+        stages=FUNNEL_STAGES,
+        pre_blocks=temporal.TEMPORAL_PRE_BLOCKS_DOC)
+
+
+SQL_FUNNEL = """
+WITH t1 AS (SELECT user_id, min(ts) AS ts1 FROM events
+            WHERE event_type = 'view' GROUP BY user_id),
+t2 AS (SELECT e.user_id, min(e.ts) AS ts2
+       FROM events e JOIN t1 USING (user_id)
+       WHERE e.event_type = 'click' AND e.ts > t1.ts1
+       GROUP BY e.user_id),
+t3 AS (SELECT e.user_id, min(e.ts) AS ts3
+       FROM events e JOIN t2 USING (user_id)
+       WHERE e.event_type = 'purchase' AND e.ts > t2.ts2
+       GROUP BY e.user_id)
+SELECT 'view' AS stage,
+       CAST((SELECT count(*) FROM t1) AS BIGINT) AS n_users
+UNION ALL SELECT 'click', CAST((SELECT count(*) FROM t2) AS BIGINT)
+UNION ALL SELECT 'purchase', CAST((SELECT count(*) FROM t3) AS BIGINT)
+"""
+
+
+def q_weighted_sample(sf_dir):
+    """Deterministic weighted sampling (Efraimidis-Spirakis with
+    hash-derived uniforms): top-20 documents by u^(1/n_chars)
+    (stages/sampling.py:sample_weighted)."""
+    from ..stages import sampling
+
+    return sampling.sample_weighted(
+        _t(sf_dir, "documents", columns=["doc_id", "n_chars"]),
+        key_col="doc_id", weight_col="n_chars", k=20)
+
+
+SQL_WEIGHTED_SAMPLE = """
+SELECT doc_id, n_chars,
+       round(ln(((doc_id * 2654435761) % 4294967296 + 1.0)
+                / 4294967297.0) / n_chars, 6) AS es_score
+FROM documents
+WHERE n_chars > 0
+ORDER BY es_score DESC, doc_id
+LIMIT 20
+"""
+
+
 def queries() -> Dict[str, Callable]:
     return {
         "agg_rollup": q_agg_rollup,
@@ -2204,6 +2260,8 @@ def queries() -> Dict[str, Callable]:
         "incremental_dedup": q_incremental_dedup,
         "mixture_sample": q_mixture_sample,
         "bigram_pmi": q_bigram_pmi,
+        "funnel": q_funnel,
+        "weighted_sample": q_weighted_sample,
     }
 
 
@@ -2252,6 +2310,8 @@ def oracle_sql() -> Dict[str, str]:
         "incremental_dedup": SQL_INCREMENTAL_DEDUP,
         "mixture_sample": SQL_MIXTURE_SAMPLE,
         "bigram_pmi": SQL_BIGRAM_PMI,
+        "funnel": SQL_FUNNEL,
+        "weighted_sample": SQL_WEIGHTED_SAMPLE,
         "dedup_exact": SQL_DEDUP_EXACT,
         "fingerprint": SQL_FINGERPRINT,
         "token_count": SQL_TOKEN_COUNT,

@@ -86,3 +86,28 @@ def sample_quota(ds, *, key_col: str, group_col: str,
     parts = ds.map_batches(select, batch_format="pandas")
     return parts.groupby(group_col).map_groups(
         select, batch_format="pandas").drop_columns(["_h"])
+
+
+def sample_weighted(ds, *, key_col: str, weight_col: str, k: int):
+    """Deterministic weighted sampling without replacement
+    (Efraimidis-Spirakis A-ES): each row scores u^(1/w) with u a
+    hash-derived uniform in (0,1); the k largest scores win, giving
+    inclusion probability proportional to weight — but reproducible
+    across runs/partitionings and SQL-checkable, unlike RNG reservoirs.
+    Ranking uses the monotone transform es_score = ln(u)/w (rounded 6dp,
+    ties by key). Per-batch partial top-k, then a tiny global
+    sort+limit — the distributed-reservoir shape with no driver state.
+    Rows with weight <= 0 are excluded (both here and in the oracle)."""
+    def score(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df[weight_col] > 0].copy()
+        h = (df[key_col].to_numpy().astype("int64") * KNUTH) % (1 << 32)
+        u = (h.astype("float64") + 1.0) / 4294967297.0
+        df["es_score"] = np.round(np.log(u) / df[weight_col].to_numpy(
+            dtype="float64"), 6)
+        return df.sort_values(["es_score", key_col],
+                              ascending=[False, True],
+                              kind="mergesort").head(k)
+
+    part = ds.map_batches(score, batch_format="pandas")
+    return part.sort(["es_score", key_col],
+                     descending=[True, False]).limit(k)

@@ -255,3 +255,53 @@ def keep_latest(events: "ray.data.Dataset", *, key: str, ts: str,
         tagged = tagged.repartition(pre_blocks)
     return tagged.groupby("_pkey").map_groups(reduce_partition,
                                               batch_format="pandas")
+
+
+def funnel_counts(events: "ray.data.Dataset", *, key: str, ts: str,
+                  type_col: str, stages: List[str],
+                  coarse: int = TEMPORAL_COARSE_GROUPS,
+                  pre_blocks: Optional[int] = None):
+    """Ordered-funnel analysis: how many keys (users) completed each
+    stage prefix IN ORDER — stage i counts a user iff some stage-i
+    event happens at a STRICTLY later ts than their earliest qualifying
+    stage-(i-1) event. The classic product-analytics query; also the
+    ordered-event-pattern shape (sequences of states per entity) a
+    behavioural training-data filter needs.
+
+    One coarse key shuffle co-locates each user's events; per
+    partition the funnel is computed with vectorized
+    groupby-min/map/filter passes (one per stage, no per-user Python);
+    each partition emits ``len(stages)`` partial counts and the final
+    sum is over partitions x stages rows. Returns a pandas frame
+    (stage, n_users) in funnel order."""
+    import pandas as pd
+
+    def add_pkey(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["_pkey"] = _knuth_pkey(df[key].to_numpy(), coarse)
+        return df
+
+    def funnel_partition(g: pd.DataFrame) -> pd.DataFrame:
+        counts = []
+        reached = None          # Series: user -> ts of reaching prev stage
+        for st in stages:
+            rows = g[g[type_col] == st]
+            if reached is not None:
+                prev = rows[key].map(reached)
+                # NaT/NaN comparison is False -> users who never reached
+                # the previous stage drop out here
+                rows = rows[rows[ts].to_numpy() > prev.to_numpy()]
+            reached = rows.groupby(key)[ts].min()
+            counts.append(len(reached))
+        return pd.DataFrame({"stage": stages, "n_users": counts})
+
+    tagged = events.select_columns([key, ts, type_col]).map_batches(
+        add_pkey, batch_format="pandas")
+    if pre_blocks:
+        tagged = tagged.repartition(pre_blocks)
+    parts = tagged.groupby("_pkey").map_groups(
+        lambda g: funnel_partition(g), batch_format="pandas").to_pandas()
+    tot = parts.groupby("stage", sort=False)["n_users"].sum()
+    return pd.DataFrame({
+        "stage": stages,
+        "n_users": [int(tot.get(s, 0)) for s in stages]})
