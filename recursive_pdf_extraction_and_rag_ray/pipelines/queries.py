@@ -2187,6 +2187,73 @@ LIMIT 20
 """
 
 
+def q_char_entropy(sf_dir):
+    """Character-entropy quality signal per document
+    (stages/textstats.py:char_entropy_batch) — pure streaming map."""
+    ds = _t(sf_dir, "documents", columns=["doc_id", "text"])
+    return ds.map_batches(textstats.char_entropy_batch,
+                          batch_format="pandas")
+
+
+SQL_CHAR_ENTROPY = """
+WITH chars AS (
+  SELECT doc_id, unnest(string_split(text, '')) AS c
+  FROM documents WHERE length(text) > 0),
+cnt AS (SELECT doc_id, c, CAST(count(*) AS DOUBLE) AS k
+        FROM chars GROUP BY doc_id, c),
+tot AS (SELECT doc_id, sum(k) AS n FROM cnt GROUP BY doc_id)
+SELECT t.doc_id, round(-sum((k / n) * ln(k / n)), 6) AS entropy
+FROM cnt JOIN tot t USING (doc_id) GROUP BY t.doc_id
+UNION ALL
+SELECT doc_id, 0.0 AS entropy FROM documents WHERE length(text) = 0
+"""
+
+
+def q_events_rollup(sf_dir):
+    """GROUPING-SETS rollup over (event_type, hour): per-cell, per-type
+    and grand-total counts/sums in one result. ONE distributed groupby
+    at the finest grain; the coarser levels are folded from that tiny
+    aggregate (types x 24 rows) — never a second pass over the events.
+    Subtotal markers: event_type='ALL', hour=-1. Value summed as exact
+    1e-4 integers so every level agrees bit-for-bit."""
+    ds = _t(sf_dir, "events", columns=["ts", "event_type", "value"])
+
+    def prep(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "event_type": df["event_type"],
+            "hour": df["ts"].dt.hour.astype("int64"),
+            "v": np.round(df["value"].to_numpy() * 10000.0).astype("int64")})
+
+    fine = ds.map_batches(prep, batch_format="pandas") \
+        .groupby(["event_type", "hour"]) \
+        .aggregate(Count(alias_name="n_events"),
+                   Sum("v", alias_name="sum_value_e4")).to_pandas()
+    by_type = fine.groupby("event_type", as_index=False)[
+        ["n_events", "sum_value_e4"]].sum()
+    by_type["hour"] = np.int64(-1)
+    total = pd.DataFrame({
+        "event_type": ["ALL"], "hour": np.int64(-1),
+        "n_events": [fine["n_events"].sum()],
+        "sum_value_e4": [fine["sum_value_e4"].sum()]})
+    out = pd.concat([fine, by_type, total], ignore_index=True)
+    return out[["event_type", "hour", "n_events", "sum_value_e4"]].astype(
+        {"hour": "int64", "n_events": "int64", "sum_value_e4": "int64"})
+
+
+SQL_EVENTS_ROLLUP = """
+WITH base AS (
+  SELECT event_type, CAST(extract(hour FROM ts) AS BIGINT) AS hour,
+         CAST(round(value * 10000) AS BIGINT) AS v
+  FROM events)
+SELECT coalesce(event_type, 'ALL') AS event_type,
+       CAST(coalesce(hour, -1) AS BIGINT) AS hour,
+       count(*) AS n_events,
+       CAST(sum(v) AS BIGINT) AS sum_value_e4
+FROM base
+GROUP BY GROUPING SETS ((event_type, hour), (event_type), ())
+"""
+
+
 def queries() -> Dict[str, Callable]:
     return {
         "agg_rollup": q_agg_rollup,
@@ -2262,6 +2329,8 @@ def queries() -> Dict[str, Callable]:
         "bigram_pmi": q_bigram_pmi,
         "funnel": q_funnel,
         "weighted_sample": q_weighted_sample,
+        "char_entropy": q_char_entropy,
+        "events_rollup": q_events_rollup,
     }
 
 
@@ -2312,6 +2381,8 @@ def oracle_sql() -> Dict[str, str]:
         "bigram_pmi": SQL_BIGRAM_PMI,
         "funnel": SQL_FUNNEL,
         "weighted_sample": SQL_WEIGHTED_SAMPLE,
+        "char_entropy": SQL_CHAR_ENTROPY,
+        "events_rollup": SQL_EVENTS_ROLLUP,
         "dedup_exact": SQL_DEDUP_EXACT,
         "fingerprint": SQL_FINGERPRINT,
         "token_count": SQL_TOKEN_COUNT,
