@@ -53,7 +53,7 @@ BENCH_QUERIES = [
     "inverted_index", "bm25_topk", "rrf_hybrid",
     "latest_event_per_user", "duplicate_ngrams", "incremental_dedup",
     "mixture_sample", "bigram_pmi", "funnel", "weighted_sample",
-    "char_entropy", "events_rollup",
+    "char_entropy", "events_rollup", "curation",
 ]
 
 

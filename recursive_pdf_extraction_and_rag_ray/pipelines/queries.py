@@ -2254,6 +2254,60 @@ GROUP BY GROUPING SETS ((event_type, hour), (event_type), ())
 """
 
 
+CURATION_QUOTAS = {f"src{i}": 5 for i in range(20)}
+_CURATION_QUOTA_VALUES = ", ".join(
+    f"('src{i}', 5)" for i in range(20))
+
+
+def q_curation(sf_dir):
+    """End-to-end curation flagship (pipelines/curation.py): fused
+    quality signals -> threshold filter -> exact dedup keep-first ->
+    per-domain quota mixture, ONE streaming pipeline with a single
+    whole-pipeline DuckDB oracle over the exact surviving row set."""
+    from . import curation
+
+    return curation.curate(
+        _t(sf_dir, "documents", columns=["doc_id", "source", "text"]),
+        quotas=CURATION_QUOTAS)
+
+
+SQL_CURATION = r"""
+WITH pad AS (SELECT doc_id, source, text, ' ' || text || ' ' AS p
+             FROM documents),
+sig AS (
+  SELECT doc_id, source, text,
+         len(list_filter(regexp_split_to_array(text, '\s+'),
+                         x -> x <> '')) AS n_tokens,
+         (length(p) - length(replace(p, ' the ', ''))) // 5
+       + (length(p) - length(replace(p, ' and ', ''))) // 5
+       + (length(p) - length(replace(p, ' of ', ''))) // 4
+       + (length(p) - length(replace(p, ' to ', ''))) // 4
+       + (length(p) - length(replace(p, ' in ', ''))) // 4 AS en_hits
+  FROM pad),
+chars AS (SELECT doc_id, unnest(string_split(text, '')) AS c
+          FROM documents WHERE length(text) > 0),
+ccnt AS (SELECT doc_id, c, CAST(count(*) AS DOUBLE) AS k
+         FROM chars GROUP BY doc_id, c),
+ctot AS (SELECT doc_id, sum(k) AS n FROM ccnt GROUP BY doc_id),
+ent AS (SELECT t.doc_id, round(-sum((k / n) * ln(k / n)), 6) AS entropy
+        FROM ccnt JOIN ctot t USING (doc_id) GROUP BY t.doc_id),
+filt AS (
+  SELECT s.doc_id, s.source, s.n_tokens, e.entropy, md5(s.text) AS fp
+  FROM sig s JOIN ent e USING (doc_id)
+  WHERE e.entropy >= 2.8 AND s.n_tokens >= 30 AND s.en_hits >= 3),
+dedup AS (SELECT *, row_number() OVER (PARTITION BY fp
+                                       ORDER BY doc_id) AS rn FROM filt),
+kept AS (SELECT doc_id, source, n_tokens, entropy FROM dedup WHERE rn = 1),
+q(source, quota) AS (VALUES __QUOTAS__),
+ranked AS (
+  SELECT k.*, row_number() OVER (PARTITION BY source
+    ORDER BY (doc_id * 2654435761) % 4294967296, doc_id) AS qrn
+  FROM kept k)
+SELECT r.doc_id, r.source, r.n_tokens, r.entropy
+FROM ranked r JOIN q USING (source) WHERE r.qrn <= q.quota
+""".replace("__QUOTAS__", _CURATION_QUOTA_VALUES)
+
+
 def queries() -> Dict[str, Callable]:
     return {
         "agg_rollup": q_agg_rollup,
@@ -2331,6 +2385,7 @@ def queries() -> Dict[str, Callable]:
         "weighted_sample": q_weighted_sample,
         "char_entropy": q_char_entropy,
         "events_rollup": q_events_rollup,
+        "curation": q_curation,
     }
 
 
@@ -2383,6 +2438,7 @@ def oracle_sql() -> Dict[str, str]:
         "weighted_sample": SQL_WEIGHTED_SAMPLE,
         "char_entropy": SQL_CHAR_ENTROPY,
         "events_rollup": SQL_EVENTS_ROLLUP,
+        "curation": SQL_CURATION,
         "dedup_exact": SQL_DEDUP_EXACT,
         "fingerprint": SQL_FINGERPRINT,
         "token_count": SQL_TOKEN_COUNT,
