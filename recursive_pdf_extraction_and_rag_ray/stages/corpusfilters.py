@@ -439,7 +439,13 @@ def duplicate_ngrams(ds, *, id_col: str = "doc_id", text_col: str = "text",
     vectorized groupby. Output is bounded by the shared-gram inventory,
     which real corpora keep far below the gram stream (and the
     ``min_docs`` filter drops the singleton long tail before it ever
-    reaches the driver or a sink)."""
+    reaches the driver or a sink).
+
+    Partitioning assumption (same as inverted_index): the hottest
+    gram's per-doc rows fit one reduce task. A gram present in most
+    documents concentrates n_docs rows in one partition; at 1e9+ docs
+    add a count pre-pass that caps or salts grams above a document
+    -frequency ceiling before the shuffle."""
 
     def partial(df: pd.DataFrame) -> pd.DataFrame:
         g = _gram_rows(df, id_col=id_col, text_col=text_col, n=n)

@@ -74,7 +74,14 @@ def inverted_index(docs: "ray.data.Dataset", *, id_col: str = "doc_id",
     with ``df`` (total docs containing the token), ``shard`` (0-based,
     by ascending doc_id) and ``postings`` ('id:tf,id:tf,...' ascending
     by doc_id). Exactly one all-to-all exchange (the coarse token-hash
-    shuffle); everything else is embarrassingly parallel."""
+    shuffle); everything else is embarrassingly parallel.
+
+    Partitioning assumption: the hottest token's (token, doc_id, tf)
+    rows fit one reduce task — sharding bounds every OUTPUT row at
+    ``shard_size`` entries, but assembly still sees the whole token in
+    one partition. At 1e9+ docs, run a df-count pre-pass and drop (or
+    route separately) stopword-class tokens above a df cap before the
+    shuffle — their posting lists are retrieval-useless anyway."""
 
     def explode(df: pd.DataFrame) -> pd.DataFrame:
         out = _token_doc_tf(df, id_col=id_col, text_col=text_col)
