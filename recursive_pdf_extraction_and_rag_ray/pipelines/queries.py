@@ -1185,6 +1185,23 @@ def q_ivf_ann(sf_dir):
     return df[df["vec_id"] != 0].reset_index(drop=True)
 
 
+def q_kmeans_clusters(sf_dir):
+    """Full-corpus distributed Lloyd k-means over the embeddings table
+    (stages/clustering.py:kmeans_fit — sample-init + per-batch partial
+    sums through a bounded-fan-in tree combine, tol early stop), then
+    per-cluster membership stats. Rows-only: iterative k-means isn't
+    SQL-expressible; pure-numpy parity, partitioning invariance and
+    non-increasing objective are pinned in tests/test_clustering.py."""
+    from ..stages import clustering
+
+    ds = _t(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    fit = clustering.kmeans_fit(
+        ds, n_clusters=8, iters=8,
+        source_path=os.path.join(sf_dir, "embeddings.parquet"))
+    return clustering.kmeans_cluster_stats(
+        ds, fit.centroids).sort("cluster")
+
+
 def q_cosine_neardup_lsh(sf_dir):
     """Embedding near-dup blocked by hyperplane-LSH bucket instead of a
     metadata label (the unlabeled-corpus path; rows-only)."""
@@ -2348,6 +2365,7 @@ def queries() -> Dict[str, Callable]:
         "hll_distinct_users": q_hll_distinct_users,
         "tdigest_value_quantiles": q_tdigest_value_quantiles,
         "semantic_dedup": q_semantic_dedup,
+        "kmeans_clusters": q_kmeans_clusters,
         "dedup_exact": q_dedup_exact,
         "fingerprint": q_fingerprint,
         "token_count": q_token_count,
