@@ -49,7 +49,7 @@ BENCH_QUERIES = [
     "unigram_nll", "customer_activity", "boilerplate_scrub",
     "shuffle_rank", "pack_documents",
     "cms_event_counts", "hll_distinct_users",
-    "tdigest_value_quantiles", "semantic_dedup", "kmeans_clusters",
+    "tdigest_value_quantiles", "semantic_dedup", "kmeans_clusters", "pq_ann",
     "inverted_index", "bm25_topk", "rrf_hybrid",
     "latest_event_per_user", "duplicate_ngrams", "incremental_dedup",
     "mixture_sample", "bigram_pmi", "funnel", "weighted_sample",

@@ -1202,6 +1202,23 @@ def q_kmeans_clusters(sf_dir):
         ds, fit.centroids).sort("cluster")
 
 
+def q_pq_ann(sf_dir):
+    """Product-quantization ADC top-k (stages/pq.py — per-subspace
+    codebooks from the bounded deterministic sample, distributed uint8
+    encode, broadcast LUT + partial top-k). Rows-only: quantized
+    distances are approximate by design; codeword-grid exactness and
+    clustered recall >= 0.7 are pinned in tests/test_pq.py."""
+    from ..stages import pq as pqmod
+
+    src = os.path.join(sf_dir, "embeddings.parquet")
+    q = pq.read_table(src, columns=["vec_id", "embedding"],
+                      filters=[("vec_id", "=", 0)])
+    qvec = np.asarray(q.column("embedding").to_pylist()[0], dtype=np.float64)
+    ds = _t(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    out = pqmod.pq_ann(ds, qvec, k=10, source_path=src, exclude_ids=[0])
+    return out.to_pandas()[["vec_id", "adc_dist"]]
+
+
 def q_cosine_neardup_lsh(sf_dir):
     """Embedding near-dup blocked by hyperplane-LSH bucket instead of a
     metadata label (the unlabeled-corpus path; rows-only)."""
@@ -2366,6 +2383,7 @@ def queries() -> Dict[str, Callable]:
         "tdigest_value_quantiles": q_tdigest_value_quantiles,
         "semantic_dedup": q_semantic_dedup,
         "kmeans_clusters": q_kmeans_clusters,
+        "pq_ann": q_pq_ann,
         "dedup_exact": q_dedup_exact,
         "fingerprint": q_fingerprint,
         "token_count": q_token_count,
