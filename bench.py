@@ -54,6 +54,7 @@ BENCH_QUERIES = [
     "latest_event_per_user", "duplicate_ngrams", "incremental_dedup",
     "mixture_sample", "bigram_pmi", "funnel", "weighted_sample",
     "char_entropy", "events_rollup", "curation",
+    "stats_by_flag", "events_hopping", "distinct_users_by_type",
 ]
 
 

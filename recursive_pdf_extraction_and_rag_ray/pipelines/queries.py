@@ -2288,6 +2288,76 @@ GROUP BY GROUPING SETS ((event_type, hour), (event_type), ())
 """
 
 
+def q_stats_by_flag(sf_dir):
+    """Grouped second-moment statistics over lineitem
+    (stages/stats.py:grouped_moments — Chan/Welford mergeable partials,
+    canonical merge order): per returnflag count, mean and sample
+    stddev of quantity, Pearson corr(quantity, extendedprice)."""
+    from ..stages import stats
+
+    ds = _t(sf_dir, "lineitem",
+            columns=["l_returnflag", "l_quantity", "l_extendedprice"])
+    out = stats.grouped_moments(ds, key_col="l_returnflag",
+                                x_col="l_quantity",
+                                y_col="l_extendedprice")
+    # one row per group survives the shuffle; finish driver-side
+    df = out.to_pandas().rename(columns={"mean_x": "mean_qty",
+                                         "std_x": "std_qty",
+                                         "corr_xy": "corr_qty_price"})
+    return df.sort_values("l_returnflag").reset_index(drop=True)
+
+
+SQL_STATS_BY_FLAG = """
+SELECT l_returnflag, count(*) AS n,
+       round(avg(l_quantity), 6) AS mean_qty,
+       round(stddev_samp(l_quantity), 6) AS std_qty,
+       round(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price
+FROM lineitem GROUP BY 1
+"""
+
+
+def q_events_hopping(sf_dir):
+    """Overlapping 30-min windows hopping every 15 min
+    (stages/temporal.py:hopping_window_agg — per-batch replicate +
+    pre-aggregate, one slim groupby shuffle); the overlapping
+    complement of the tumbling events_hourly bucket."""
+    from ..stages.temporal import hopping_window_agg
+
+    ds = _t(sf_dir, "events", columns=["ts", "value"])
+    return hopping_window_agg(ds, size_s=1800, hop_s=900).sort("win_start")
+
+
+SQL_EVENTS_HOPPING = """
+SELECT win_start, count(*) AS n_events, round(sum(value), 4) AS sum_value
+FROM (
+  SELECT CAST(floor(epoch(ts) / 900) * 900 - 900 * i AS BIGINT)
+           AS win_start,
+         value
+  FROM events CROSS JOIN (SELECT unnest([0, 1]) AS i)
+)
+GROUP BY 1
+"""
+
+
+def q_distinct_users_by_type(sf_dir):
+    """Exact count(distinct user_id) per event_type
+    (stages/sketch.py:distinct_count_by_key — pair-hash partitioned
+    dedup, no hot-key single task; the exact complement of the HLL
+    estimate)."""
+    from ..stages.sketch import distinct_count_by_key
+
+    ds = _t(sf_dir, "events", columns=["event_type", "user_id"])
+    return distinct_count_by_key(
+        ds, key_col="event_type", val_col="user_id",
+        out="n_users").sort("event_type")
+
+
+SQL_DISTINCT_USERS_BY_TYPE = """
+SELECT event_type, count(DISTINCT user_id) AS n_users
+FROM events GROUP BY 1
+"""
+
+
 CURATION_QUOTAS = {f"src{i}": 5 for i in range(20)}
 _CURATION_QUOTA_VALUES = ", ".join(
     f"('src{i}', 5)" for i in range(20))
@@ -2384,6 +2454,9 @@ def queries() -> Dict[str, Callable]:
         "semantic_dedup": q_semantic_dedup,
         "kmeans_clusters": q_kmeans_clusters,
         "pq_ann": q_pq_ann,
+        "stats_by_flag": q_stats_by_flag,
+        "events_hopping": q_events_hopping,
+        "distinct_users_by_type": q_distinct_users_by_type,
         "dedup_exact": q_dedup_exact,
         "fingerprint": q_fingerprint,
         "token_count": q_token_count,
@@ -2474,6 +2547,9 @@ def oracle_sql() -> Dict[str, str]:
         "weighted_sample": SQL_WEIGHTED_SAMPLE,
         "char_entropy": SQL_CHAR_ENTROPY,
         "events_rollup": SQL_EVENTS_ROLLUP,
+        "stats_by_flag": SQL_STATS_BY_FLAG,
+        "events_hopping": SQL_EVENTS_HOPPING,
+        "distinct_users_by_type": SQL_DISTINCT_USERS_BY_TYPE,
         "curation": SQL_CURATION,
         "dedup_exact": SQL_DEDUP_EXACT,
         "fingerprint": SQL_FINGERPRINT,

@@ -428,3 +428,31 @@ def tdigest_quantile(digest: pd.DataFrame,
     total = w.sum()
     cum = np.cumsum(w) - w / 2.0
     return np.interp(np.asarray(qs, dtype=np.float64) * total, cum, m)
+
+
+def distinct_count_by_key(ds: "ray.data.Dataset", *, key_col: str,
+                          val_col: str,
+                          out: str = "n_distinct") -> "ray.data.Dataset":
+    """EXACT count(distinct val) per key — the deterministic complement
+    of the HLL estimate. Per-batch pair dedup shrinks the stream first;
+    the (key, val) groupby partitions by PAIR hash (a hot key's distinct
+    values spread across tasks, no single-task hot group), then the
+    per-key count is a second, slim shuffle of one row per distinct
+    pair."""
+    pairs = ds.map_batches(
+        lambda df: df[[key_col, val_col]].drop_duplicates(),
+        batch_format="pandas")
+    uniq = pairs.groupby([key_col, val_col]).count()
+
+    def strip(df: pd.DataFrame) -> pd.DataFrame:
+        return df[[key_col]]
+
+    counted = uniq.map_batches(strip, batch_format="pandas") \
+        .groupby(key_col).count()
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df[out] = df["count()"].astype("int64")
+        return df[[key_col, out]]
+
+    return counted.map_batches(finish, batch_format="pandas")

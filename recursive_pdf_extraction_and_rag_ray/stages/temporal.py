@@ -305,3 +305,55 @@ def funnel_counts(events: "ray.data.Dataset", *, key: str, ts: str,
     return pd.DataFrame({
         "stage": stages,
         "n_users": [int(tot.get(s, 0)) for s in stages]})
+
+
+def hopping_window_agg(events: "ray.data.Dataset", *, ts: str = "ts",
+                       value: str = "value", size_s: int = 1800,
+                       hop_s: int = 900) -> "ray.data.Dataset":
+    """Overlapping (hopping) time-window aggregate: count + value sum per
+    window of ``size_s`` seconds advancing every ``hop_s`` — the
+    overlapping complement of the tumbling ``events_hourly`` bucket.
+
+    An event at epoch t belongs to exactly size_s/hop_s windows (starts
+    floor(t/hop)*hop - i*hop for i in 0..size/hop-1), so each batch
+    REPLICATES rows size/hop times and immediately pre-aggregates per
+    window key; only (win_start, n, sum) partials — bounded by windows
+    present in the batch, not events — cross the one groupby shuffle.
+    ``size_s`` must be a multiple of ``hop_s``."""
+    if size_s % hop_s:
+        raise ValueError("size_s must be a multiple of hop_s")
+    fanout = size_s // hop_s
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame({
+                "win_start": pd.Series([], dtype="int64"),
+                "n": pd.Series([], dtype="int64"),
+                "val_sum": pd.Series([], dtype="float64")})
+        epoch = df[ts].astype("datetime64[ns]").astype("int64") \
+            // 1_000_000_000
+        base = (epoch // hop_s) * hop_s
+        wins = np.concatenate([base - i * hop_s for i in range(fanout)])
+        vals = np.tile(df[value].to_numpy(dtype=np.float64), fanout)
+        g = pd.DataFrame({"win_start": wins, "v": vals}).groupby(
+            "win_start", sort=True)
+        out = g.size().rename("n").reset_index()
+        out["val_sum"] = g["v"].sum().to_numpy()
+        out["win_start"] = out["win_start"].astype("int64")
+        out["n"] = out["n"].astype("int64")
+        return out
+
+    from ray.data.aggregate import Sum
+
+    agg = events.select_columns([ts, value]).map_batches(
+        partial, batch_format="pandas").groupby("win_start").aggregate(
+        Sum("n", alias_name="n_events"),
+        Sum("val_sum", alias_name="sum_value"))
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["n_events"] = df["n_events"].astype("int64")
+        df["sum_value"] = df["sum_value"].round(4)
+        return df[["win_start", "n_events", "sum_value"]]
+
+    return agg.map_batches(finish, batch_format="pandas")
