@@ -46,7 +46,7 @@ def q_agg_rollup(sf_dir):
         "l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice",
         "l_discount", "l_shipdate"])
 
-    def add_revenue(t: pa.Table) -> pa.Table:
+    def partial(t: pa.Table) -> pd.DataFrame:
         t = t.filter(pc.less_equal(
             t["l_shipdate"], pa.scalar(pd.Timestamp("1998-09-02"))))
         # exact integer 1e-4-currency units: float sums are association-order
@@ -56,13 +56,26 @@ def q_agg_rollup(sf_dir):
                         pc.subtract(pa.scalar(1.0), t["l_discount"])),
             pa.scalar(10000.0))), pa.int64())
         qty = pc.cast(t["l_quantity"], pa.int64())
-        return t.append_column("revenue_e4", rev).append_column("qty_int", qty)
+        df = pd.DataFrame({"l_returnflag": t["l_returnflag"].to_pandas(),
+                           "l_linestatus": t["l_linestatus"].to_pandas(),
+                           "qty_int": qty.to_pandas(),
+                           "revenue_e4": rev.to_pandas()})
+        # batch-local combine: <= |flags|x|statuses| rows leave each task,
+        # so the (slow multi-key) shuffle sorts hundreds of partial rows,
+        # not the table; int64 sums keep the final result order-exact
+        g = df.groupby(["l_returnflag", "l_linestatus"], sort=False,
+                       as_index=False)
+        out = g.agg(sum_qty=("qty_int", "sum"),
+                    sum_revenue_e4=("revenue_e4", "sum"),
+                    n_rows=("qty_int", "size"))
+        return out.astype({"sum_qty": "int64", "sum_revenue_e4": "int64",
+                           "n_rows": "int64"})
 
-    out = ds.map_batches(add_revenue, batch_format="pyarrow") \
+    out = ds.map_batches(partial, batch_format="pyarrow") \
         .groupby(["l_returnflag", "l_linestatus"]) \
-        .aggregate(Sum("qty_int", alias_name="sum_qty"),
-                   Sum("revenue_e4", alias_name="sum_revenue_e4"),
-                   Count(alias_name="n_rows"))
+        .aggregate(Sum("sum_qty", alias_name="sum_qty"),
+                   Sum("sum_revenue_e4", alias_name="sum_revenue_e4"),
+                   Sum("n_rows", alias_name="n_rows"))
     return out
 
 
@@ -2253,14 +2266,19 @@ def q_events_rollup(sf_dir):
     ds = _t(sf_dir, "events", columns=["ts", "event_type", "value"])
 
     def prep(df: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame({
+        base = pd.DataFrame({
             "event_type": df["event_type"],
             "hour": df["ts"].dt.hour.astype("int64"),
             "v": np.round(df["value"].to_numpy() * 10000.0).astype("int64")})
+        # batch-local combine: <= types x 24 partial rows per task reach
+        # the multi-key shuffle instead of every event row
+        g = base.groupby(["event_type", "hour"], sort=False, as_index=False)
+        out = g.agg(n=("v", "size"), v=("v", "sum"))
+        return out.astype({"n": "int64", "v": "int64"})
 
     fine = ds.map_batches(prep, batch_format="pandas") \
         .groupby(["event_type", "hour"]) \
-        .aggregate(Count(alias_name="n_events"),
+        .aggregate(Sum("n", alias_name="n_events"),
                    Sum("v", alias_name="sum_value_e4")).to_pandas()
     by_type = fine.groupby("event_type", as_index=False)[
         ["n_events", "sum_value_e4"]].sum()
