@@ -131,8 +131,14 @@ def kmeans_fit(ds: "ray.data.Dataset", *, n_clusters: int = 16,
     k, dim = cents.shape
 
     work = ds.select_columns([vec_col])
+    small = False
     if cache:
         work = work.materialize()
+        # one partial row per block, each k x dim x 8 B (~4 KB at k=8,
+        # d=64): taking them straight to the driver is cheaper than a
+        # per-iteration tree-combine shuffle until block counts reach
+        # the thousands, so the combine leg only engages beyond that
+        small = work.num_blocks() <= max(fanin, 4096)
 
     history: List[float] = []
     counts = np.zeros(k, dtype=np.int64)
@@ -144,10 +150,13 @@ def kmeans_fit(ds: "ray.data.Dataset", *, n_clusters: int = 16,
             return _partial_stats(df, ray.get(_cref), vec_col, spherical)
 
         parts = work.map_batches(partial, batch_format="pandas")
-        rows = (parts.repartition(fanin)
-                .map_batches(_sum_partials, batch_format="pandas",
-                             batch_size=None)
-                .take_all())
+        if small:
+            rows = parts.take_all()
+        else:
+            rows = (parts.repartition(fanin)
+                    .map_batches(_sum_partials, batch_format="pandas",
+                                 batch_size=None)
+                    .take_all())
         agg = _sum_partials(pd.DataFrame(rows))
         sums = np.asarray(agg["sums"][0]).reshape(k, dim)
         counts = np.asarray(agg["counts"][0], dtype=np.int64)
