@@ -2376,6 +2376,92 @@ FROM events GROUP BY 1
 """
 
 
+SNAPSHOT_DROP_BELOW = 50      # old ids below this are absent from "new"
+SNAPSHOT_EDIT_MOD = 7         # new text edited when doc_id % this == 0
+SNAPSHOT_ADD_BELOW = 25       # ids < this re-added shifted by +10000
+
+
+def q_snapshot_diff(sf_dir):
+    """Corpus-version diff (stages/dedup.py:snapshot_diff — slim
+    fingerprint rows, one coarse hash partition, vectorized outer merge
+    per partition): old = documents; new = a deterministic edit
+    (drop ids < 50, append ' v2' to text when id % 7 == 0, re-add
+    ids < 25 shifted +10000). Each id classifies as
+    added/removed/changed/unchanged — FULL OUTER JOIN semantics."""
+    from ..stages import dedup as dedup_mod
+
+    old = _t(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def make_new(df: pd.DataFrame) -> pd.DataFrame:
+        kept = df[df["doc_id"] >= SNAPSHOT_DROP_BELOW].copy()
+        edit = (kept["doc_id"] % SNAPSHOT_EDIT_MOD == 0)
+        kept.loc[edit, "text"] = kept.loc[edit, "text"] + " v2"
+        readd = df[df["doc_id"] < SNAPSHOT_ADD_BELOW].copy()
+        readd["doc_id"] = readd["doc_id"] + 10000
+        return pd.concat([kept, readd], ignore_index=True)
+
+    new = _t(sf_dir, "documents", columns=["doc_id", "text"]) \
+        .map_batches(make_new, batch_format="pandas")
+    return dedup_mod.snapshot_diff(old, new).sort("doc_id")
+
+
+SQL_SNAPSHOT_DIFF = f"""
+WITH new AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % {SNAPSHOT_EDIT_MOD} = 0 THEN text || ' v2'
+              ELSE text END AS text
+  FROM documents WHERE doc_id >= {SNAPSHOT_DROP_BELOW}
+  UNION ALL
+  SELECT doc_id + 10000, text FROM documents
+  WHERE doc_id < {SNAPSHOT_ADD_BELOW})
+SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+       CASE WHEN o.doc_id IS NULL THEN 'added'
+            WHEN n.doc_id IS NULL THEN 'removed'
+            WHEN o.text = n.text THEN 'unchanged'
+            ELSE 'changed' END AS status
+FROM documents o FULL OUTER JOIN new n ON o.doc_id = n.doc_id
+"""
+
+
+def q_props_rollup(sf_dir):
+    """JSON property extraction + rollup: parse the events.props JSON
+    column (vectorized regex on the single-key payload shape — the
+    engine's balanced-JSON extractor handles the general nested case,
+    functions/textproc.py:extract_balanced_json) and aggregate the 'k'
+    property per event_type."""
+    ds = _t(sf_dir, "events", columns=["event_type", "props"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        k = df["props"].str.extract(r'"k"\s*:\s*(-?\d+)', expand=False) \
+            .astype("int64")
+        g = pd.DataFrame({"event_type": df["event_type"], "k": k}) \
+            .groupby("event_type", sort=False, as_index=False) \
+            .agg(n=("k", "size"), sum_k=("k", "sum"), max_k=("k", "max"))
+        return g.astype({"n": "int64", "sum_k": "int64", "max_k": "int64"})
+
+    out = ds.map_batches(partial, batch_format="pandas") \
+        .groupby("event_type") \
+        .aggregate(Sum("n", alias_name="n"),
+                   Sum("sum_k", alias_name="sum_k"),
+                   Max("max_k", alias_name="max_k"))
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        return df.astype({"n": "int64", "sum_k": "int64",
+                          "max_k": "int64"})
+
+    return out.map_batches(finish, batch_format="pandas")
+
+
+SQL_PROPS_ROLLUP = """
+SELECT event_type, count(*) AS n,
+       CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT))
+            AS BIGINT) AS sum_k,
+       CAST(max(CAST(json_extract_string(props, '$.k') AS BIGINT))
+            AS BIGINT) AS max_k
+FROM events GROUP BY 1
+"""
+
+
 CURATION_QUOTAS = {f"src{i}": 5 for i in range(20)}
 _CURATION_QUOTA_VALUES = ", ".join(
     f"('src{i}', 5)" for i in range(20))
@@ -2475,6 +2561,8 @@ def queries() -> Dict[str, Callable]:
         "stats_by_flag": q_stats_by_flag,
         "events_hopping": q_events_hopping,
         "distinct_users_by_type": q_distinct_users_by_type,
+        "snapshot_diff": q_snapshot_diff,
+        "props_rollup": q_props_rollup,
         "dedup_exact": q_dedup_exact,
         "fingerprint": q_fingerprint,
         "token_count": q_token_count,
@@ -2568,6 +2656,8 @@ def oracle_sql() -> Dict[str, str]:
         "stats_by_flag": SQL_STATS_BY_FLAG,
         "events_hopping": SQL_EVENTS_HOPPING,
         "distinct_users_by_type": SQL_DISTINCT_USERS_BY_TYPE,
+        "snapshot_diff": SQL_SNAPSHOT_DIFF,
+        "props_rollup": SQL_PROPS_ROLLUP,
         "curation": SQL_CURATION,
         "dedup_exact": SQL_DEDUP_EXACT,
         "fingerprint": SQL_FINGERPRINT,

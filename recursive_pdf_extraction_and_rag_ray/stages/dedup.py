@@ -275,3 +275,57 @@ def incremental_dedup_bloom(new_docs: "ray.data.Dataset",
                                    coarse=64, pre_blocks=16) \
             .select_columns([id_col])
     return sure_new.union(verified)
+
+
+def snapshot_diff(old_docs: "ray.data.Dataset",
+                  new_docs: "ray.data.Dataset", *,
+                  id_col: str = "doc_id",
+                  coarse: int = 256) -> "ray.data.Dataset":
+    """Corpus-version diff: (id, status) with status in
+    {'added','removed','changed','unchanged'} — SQL FULL OUTER JOIN
+    comparing content hashes, the audit step between two snapshots of
+    an incrementally-maintained corpus (what changed since the last
+    crawl / extraction run?).
+
+    Only slim (id, 32-hex fp, side) rows cross the wire — texts are
+    fingerprinted batch-locally first. Both sides tag and
+    hash-partition ONCE by ``hash(id) % coarse`` (the joins.py scheme);
+    a vectorized outer merge per partition classifies every id. No
+    driver state, no broadcast."""
+    import numpy as np
+    import pandas as pd
+
+    from .textstats import fingerprint_batch
+    from .joins import _knuth_pkey
+
+    def slim(side: int):
+        def f(df: pd.DataFrame) -> pd.DataFrame:
+            fp = fingerprint_batch(df)
+            ids = df[id_col].to_numpy().astype("int64")
+            return pd.DataFrame({
+                id_col: ids, "fp": fp["fp"].to_numpy(),
+                "_side": np.full(len(df), side, dtype=np.int8),
+                "_pkey": _knuth_pkey(ids, coarse)})
+        return f
+
+    both = old_docs.select_columns([id_col, "text"]) \
+        .map_batches(slim(0), batch_format="pandas") \
+        .union(new_docs.select_columns([id_col, "text"])
+               .map_batches(slim(1), batch_format="pandas"))
+
+    def classify(g: pd.DataFrame) -> pd.DataFrame:
+        o = g.loc[g["_side"] == 0, [id_col, "fp"]]
+        n = g.loc[g["_side"] == 1, [id_col, "fp"]]
+        m = o.merge(n, on=id_col, how="outer", sort=False,
+                    suffixes=("_old", "_new"))
+        old_fp = m["fp_old"]
+        new_fp = m["fp_new"]
+        status = np.where(
+            old_fp.isna(), "added",
+            np.where(new_fp.isna(), "removed",
+                     np.where(old_fp == new_fp, "unchanged", "changed")))
+        return pd.DataFrame({id_col: m[id_col].astype("int64"),
+                             "status": status})
+
+    return both.groupby("_pkey").map_groups(classify,
+                                            batch_format="pandas")

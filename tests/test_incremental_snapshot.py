@@ -100,3 +100,22 @@ def test_anti_join_string_key():
     assert sorted(anti["k"]) == ["aa", "cc"]
     semi = joins.semi_join(left, right, on="k").to_pandas()
     assert sorted(semi["k"]) == ["bb", "dd"]
+
+
+def test_snapshot_diff_classifies_all_four_statuses():
+    import numpy as np
+    import pandas as pd
+    import ray
+    from recursive_pdf_extraction_and_rag_ray.stages.dedup import snapshot_diff
+
+    old = pd.DataFrame({"doc_id": [1, 2, 3, 4],
+                        "text": ["a", "b", "c", "d"]})
+    new = pd.DataFrame({"doc_id": [2, 3, 4, 9],
+                        "text": ["b", "c CHANGED", "d", "new"]})
+    out = snapshot_diff(ray.data.from_pandas(old).repartition(2),
+                        ray.data.from_pandas(new).repartition(3)) \
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    got = dict(zip(out["doc_id"], out["status"]))
+    assert got == {1: "removed", 2: "unchanged", 3: "changed",
+                   4: "unchanged", 9: "added"}
+    assert len(out) == 5
