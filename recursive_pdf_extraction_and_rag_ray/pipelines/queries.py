@@ -2376,6 +2376,45 @@ FROM events GROUP BY 1
 """
 
 
+TRAIN_SHARD_BUDGET = 4096
+
+
+def q_train_shards(sf_dir):
+    """Token-budget training-shard assignment
+    (stages/packing.py:token_shard_assign — exact distributed
+    prefix-sum over the deterministic (knuth32(id), id) shuffle order;
+    every shard holds ~budget tokens regardless of document lengths).
+    Token counts use the reference's len//4 fallback counter
+    (src/services/Gemini/gemini_service.py token estimate)."""
+    from ..stages import packing
+
+    ds = _t(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def toks(df: pd.DataFrame) -> pd.DataFrame:
+        n = (df["text"].str.len().to_numpy().astype("int64") + 3) // 4
+        return pd.DataFrame({"doc_id": df["doc_id"].astype("int64"),
+                             "n_tok": np.maximum(1, n)})
+
+    lens = ds.map_batches(toks, batch_format="pandas")
+    return packing.token_shard_assign(
+        lens, id_col="doc_id", tok_col="n_tok",
+        budget=TRAIN_SHARD_BUDGET).sort("doc_id")
+
+
+SQL_TRAIN_SHARDS = f"""
+WITH t AS (
+  SELECT doc_id,
+         (doc_id * 2654435761) % 4294967296 AS h,
+         CAST(greatest(1, (length(text) + 3) // 4) AS BIGINT) AS n_tok
+  FROM documents)
+SELECT doc_id, n_tok,
+       CAST((sum(n_tok) OVER (ORDER BY h, doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tok)
+            // {TRAIN_SHARD_BUDGET} AS BIGINT) AS shard
+FROM t
+"""
+
+
 SNAPSHOT_DROP_BELOW = 50      # old ids below this are absent from "new"
 SNAPSHOT_EDIT_MOD = 7         # new text edited when doc_id % this == 0
 SNAPSHOT_ADD_BELOW = 25       # ids < this re-added shifted by +10000
@@ -2563,6 +2602,7 @@ def queries() -> Dict[str, Callable]:
         "distinct_users_by_type": q_distinct_users_by_type,
         "snapshot_diff": q_snapshot_diff,
         "props_rollup": q_props_rollup,
+        "train_shards": q_train_shards,
         "dedup_exact": q_dedup_exact,
         "fingerprint": q_fingerprint,
         "token_count": q_token_count,
@@ -2658,6 +2698,7 @@ def oracle_sql() -> Dict[str, str]:
         "distinct_users_by_type": SQL_DISTINCT_USERS_BY_TYPE,
         "snapshot_diff": SQL_SNAPSHOT_DIFF,
         "props_rollup": SQL_PROPS_ROLLUP,
+        "train_shards": SQL_TRAIN_SHARDS,
         "curation": SQL_CURATION,
         "dedup_exact": SQL_DEDUP_EXACT,
         "fingerprint": SQL_FINGERPRINT,

@@ -161,3 +161,90 @@ def global_rank(ds, *, by: str, tiebreak: str, out: str = "rank",
 
     return ds.map_batches(add_bucket, batch_format="pandas") \
         .groupby("_rb").map_groups(rank_bucket, batch_format="pandas")
+
+
+def token_shard_assign(ds, *, id_col: str, tok_col: str, budget: int,
+                       buckets: int = RANK_BUCKETS):
+    """Assign every row to a fixed-token-budget training shard:
+    ``shard = floor(running_token_total_before_row / budget)`` where the
+    running total walks the corpus in deterministic shuffled order
+    (knuth32(id), id) — exactly the SQL window
+    ``(sum(tok) OVER (ORDER BY h, id) - tok) // budget``. The
+    dataloader-export step: shard boundaries land on token counts, not
+    row counts, so every output shard trains the same number of tokens.
+
+    Same two-pass exact-prefix shape as ``global_rank``, with token
+    SUMS instead of row counts: pass 1 reduces each monotone hash-range
+    bucket to its token subtotal (per-batch bincount-weighted partials;
+    a ``buckets``-sized array of offsets ships in the closure), pass 2
+    shuffles once by bucket and cumsums locally + offset. The hash
+    order is uniform by construction, so buckets are balanced."""
+    if budget <= 0:
+        raise ValueError("budget must be positive")
+    span = 1 << 32
+
+    def bucket_of(h: np.ndarray) -> np.ndarray:
+        return (h * buckets) // span
+
+    def sum_partial(df: pd.DataFrame) -> pd.DataFrame:
+        h = _knuth32(df[id_col].to_numpy())
+        b = bucket_of(h)
+        tok = df[tok_col].to_numpy().astype("int64")
+        return pd.DataFrame({
+            "b": np.arange(buckets, dtype="int64"),
+            "t": np.bincount(b, weights=tok,
+                             minlength=buckets).astype("int64")})
+
+    parts = pd.concat(
+        list(ds.select_columns([id_col, tok_col])
+             .map_batches(sum_partial, batch_format="pandas")
+             .iter_batches(batch_format="pandas", batch_size=65536)),
+        ignore_index=True)
+    sums = parts.groupby("b")["t"].sum().reindex(
+        range(buckets), fill_value=0).to_numpy()
+    offsets = np.concatenate([[0], np.cumsum(sums)[:-1]])
+
+    def add_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        out = df[[id_col, tok_col]].copy()
+        h = _knuth32(out[id_col].to_numpy())
+        out["_h"] = h
+        out["_sb"] = bucket_of(h)
+        return out
+
+    def assign(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["_h", id_col], kind="mergesort") \
+            .reset_index(drop=True)
+        tok = g[tok_col].to_numpy().astype("int64")
+        base = int(offsets[int(g["_sb"].iloc[0])])
+        before = base + np.cumsum(tok) - tok
+        return pd.DataFrame({
+            id_col: g[id_col].astype("int64"),
+            tok_col: tok,
+            "shard": (before // budget).astype("int64")})
+
+    return ds.map_batches(add_bucket, batch_format="pandas") \
+        .groupby("_sb").map_groups(assign, batch_format="pandas")
+
+
+def write_training_shards(docs, assignment, *, out_dir: str,
+                          id_col: str = "doc_id",
+                          tok_col: str = "n_tok") -> "pd.DataFrame":
+    """Join shard assignments back onto full rows and write one
+    hive-partitioned parquet directory per shard (resumable layout: a
+    re-run overwrites whole shard directories, never one giant file).
+    Returns the manifest (shard, n_docs, n_tokens) as a small frame —
+    persisted beside the shards as ``_manifest.parquet``."""
+    import os
+
+    from .joins import inner_join
+
+    joined = inner_join(docs, assignment, on=id_col)
+    joined.write_parquet(out_dir, partition_cols=["shard"],
+                         compression="zstd")
+    from ray.data.aggregate import Count, Sum
+
+    man = assignment.groupby("shard").aggregate(
+        Count(alias_name="n_docs"), Sum(tok_col, alias_name="n_tokens")) \
+        .to_pandas().sort_values("shard").reset_index(drop=True)
+    man.to_parquet(os.path.join(out_dir, "_manifest.parquet"))
+    return man

@@ -76,3 +76,56 @@ def test_global_rank_matches_argsort_with_skew(ray_session):
     exp = df.sort_values(["k", "id"]).reset_index(drop=True)
     assert out["id"].tolist() == exp["id"].tolist()
     assert out["r"].tolist() == list(range(600))
+
+
+def test_token_shard_assign_exact_prefix_sum():
+    import numpy as np
+    import pandas as pd
+    import ray
+    from recursive_pdf_extraction_and_rag_ray.stages import packing
+
+    rng = np.random.RandomState(2)
+    df = pd.DataFrame({"doc_id": np.arange(500, dtype="int64"),
+                       "n_tok": rng.randint(1, 400, size=500)
+                       .astype("int64")})
+    out = packing.token_shard_assign(
+        ray.data.from_pandas(df).repartition(7), id_col="doc_id",
+        tok_col="n_tok", budget=1000).to_pandas()
+    # single-machine reference: cumsum in (knuth32(id), id) order
+    h = (df["doc_id"].to_numpy() * 2654435761) % (1 << 32)
+    ref = df.assign(_h=h).sort_values(["_h", "doc_id"])
+    before = np.cumsum(ref["n_tok"].to_numpy()) - ref["n_tok"].to_numpy()
+    ref = ref.assign(shard=(before // 1000)).sort_values("doc_id")
+    got = out.sort_values("doc_id").reset_index(drop=True)
+    assert np.array_equal(got["shard"].to_numpy(),
+                          ref["shard"].to_numpy())
+    # shard token totals hit the budget (except the last)
+    tot = got.groupby("shard")["n_tok"].sum()
+    assert (tot.iloc[:-1] >= 1000 - 400).all()
+
+
+def test_write_training_shards_roundtrip(tmp_path):
+    import numpy as np
+    import pandas as pd
+    import ray
+    import pyarrow.dataset as pads
+    from recursive_pdf_extraction_and_rag_ray.stages import packing
+
+    docs = pd.DataFrame({"doc_id": np.arange(60, dtype="int64"),
+                         "text": [f"doc {i} body" for i in range(60)]})
+    lens = pd.DataFrame({"doc_id": docs["doc_id"],
+                         "n_tok": np.full(60, 50, dtype="int64")})
+    assign = packing.token_shard_assign(
+        ray.data.from_pandas(lens), id_col="doc_id", tok_col="n_tok",
+        budget=500)
+    out = str(tmp_path / "shards")
+    man = packing.write_training_shards(
+        ray.data.from_pandas(docs), assign, out_dir=out)
+    # 60 docs x 50 tok / 500 budget = 6 shards of 10 docs
+    assert list(man["n_docs"]) == [10] * 6
+    assert list(man["n_tokens"]) == [500] * 6
+    back = pads.dataset(out, partitioning="hive").to_table().to_pandas()
+    assert len(back) == 60
+    assert set(back["doc_id"]) == set(range(60))
+    import os
+    assert os.path.exists(os.path.join(out, "_manifest.parquet"))
