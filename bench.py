@@ -55,7 +55,7 @@ BENCH_QUERIES = [
     "mixture_sample", "bigram_pmi", "funnel", "weighted_sample",
     "char_entropy", "events_rollup", "curation",
     "stats_by_flag", "events_hopping", "distinct_users_by_type",
-    "snapshot_diff", "props_rollup", "train_shards",
+    "snapshot_diff", "props_rollup", "train_shards", "bpe_tokens",
 ]
 
 

@@ -2376,6 +2376,22 @@ FROM events GROUP BY 1
 """
 
 
+def q_bpe_tokens(sf_dir):
+    """Train a BPE tokenizer on the corpus and count per-doc subword
+    tokens (stages/bpe.py — ONE distributed wordcount, merge learning
+    over the bounded vocab on the driver, broadcast-rank encode with a
+    per-actor unique-word cache). Rows-only: greedy iterative merge
+    learning isn't SQL-expressible; single-machine-reference parity,
+    determinism and compression-monotonicity are pinned in
+    tests/test_bpe.py."""
+    from ..stages import bpe
+
+    ds = _t(sf_dir, "documents", columns=["doc_id", "text"])
+    wc = bpe.bpe_wordcounts(ds, max_words=4096)
+    merges = bpe.bpe_train(wc, n_merges=200)
+    return bpe.bpe_token_counts(ds, merges).sort("doc_id")
+
+
 TRAIN_SHARD_BUDGET = 4096
 
 
@@ -2603,6 +2619,7 @@ def queries() -> Dict[str, Callable]:
         "snapshot_diff": q_snapshot_diff,
         "props_rollup": q_props_rollup,
         "train_shards": q_train_shards,
+        "bpe_tokens": q_bpe_tokens,
         "dedup_exact": q_dedup_exact,
         "fingerprint": q_fingerprint,
         "token_count": q_token_count,
