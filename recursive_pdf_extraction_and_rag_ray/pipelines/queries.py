@@ -2376,6 +2376,96 @@ FROM events GROUP BY 1
 """
 
 
+ADAPTIVE_LO_P = 0.1
+ADAPTIVE_HI_P = 0.9
+
+
+def q_adaptive_filter(sf_dir):
+    """Data-derived threshold filtering — the curation pattern where
+    cutoffs come from the corpus itself, not constants: compute the
+    exact p10/p90 length quantiles distributed
+    (stages/sketch.py:exact_quantiles — value-histogram partials, raw
+    column never leaves the tasks), then stream the corpus once more
+    keeping only the middle band (drops truncation stubs and
+    boilerplate monsters)."""
+    from ..stages import sketch
+
+    qs = sketch.exact_quantiles(
+        _t(sf_dir, "documents", columns=["n_chars"]), "n_chars",
+        [ADAPTIVE_LO_P, ADAPTIVE_HI_P])
+    lo = int(qs["n_chars"].iloc[0])
+    hi = int(qs["n_chars"].iloc[1])
+
+    def keep(df: pd.DataFrame) -> pd.DataFrame:
+        m = (df["n_chars"] >= lo) & (df["n_chars"] <= hi)
+        return df.loc[m, ["doc_id", "n_chars"]].astype(
+            {"doc_id": "int64", "n_chars": "int64"})
+
+    return _t(sf_dir, "documents", columns=["doc_id", "n_chars"]) \
+        .map_batches(keep, batch_format="pandas")
+
+
+SQL_ADAPTIVE_FILTER = f"""
+WITH q AS (SELECT quantile_disc(n_chars, {ADAPTIVE_LO_P}) AS lo,
+                  quantile_disc(n_chars, {ADAPTIVE_HI_P}) AS hi
+           FROM documents)
+SELECT doc_id, n_chars FROM documents, q
+WHERE n_chars >= q.lo AND n_chars <= q.hi
+"""
+
+
+MODEL_W = {"bias": -3.0, "ln_len": 0.45, "space": 2.0, "digit": -4.0}
+
+
+def q_model_score(sf_dir):
+    """Batch model inference as a Ray stage: a fixed logistic quality
+    model (engineered features -> sigmoid) scored vectorized per batch
+    — the deterministic stand-in for classifier-based quality filtering
+    (fastText/logreg scoring in published curation pipelines); swapping
+    in learned weights changes nothing structurally. Scores rounded to
+    6 dp (same float-parity contract as the BM25 oracle)."""
+    ds = _t(sf_dir, "documents", columns=["doc_id", "text"])
+    w = MODEL_W
+
+    def score(df: pd.DataFrame) -> pd.DataFrame:
+        text = df["text"].fillna("")
+        n = text.str.len().to_numpy(dtype=np.float64)
+        digits = text.str.count(r"[0-9]").to_numpy(dtype=np.float64)
+        spaces = text.str.count(" ").to_numpy(dtype=np.float64)
+        denom = np.where(n > 0, n, 1.0)
+        z = (w["bias"] + w["ln_len"] * np.log1p(n)
+             + w["space"] * (spaces / denom)
+             + w["digit"] * (digits / denom))
+        s = 1.0 / (1.0 + np.exp(-z))
+        return pd.DataFrame({
+            "doc_id": df["doc_id"].astype("int64"),
+            "score": np.round(s, 6),
+            "keep": s > 0.5})
+
+    return ds.map_batches(score, batch_format="pandas")
+
+
+SQL_MODEL_SCORE = f"""
+WITH f AS (
+  SELECT doc_id,
+         CAST(length(text) AS DOUBLE) AS n,
+         CAST(length(text) - length(replace(text, ' ', ''))
+              AS DOUBLE) AS spaces,
+         CAST(length(regexp_replace(text, '[^0-9]', '', 'g'))
+              AS DOUBLE) AS digits
+  FROM documents),
+z AS (
+  SELECT doc_id,
+         {MODEL_W['bias']} + {MODEL_W['ln_len']} * ln(1 + n)
+           + {MODEL_W['space']} * (spaces / greatest(n, 1))
+           + {MODEL_W['digit']} * (digits / greatest(n, 1)) AS z
+  FROM f)
+SELECT doc_id, round(1.0 / (1.0 + exp(-z)), 6) AS score,
+       (1.0 / (1.0 + exp(-z))) > 0.5 AS keep
+FROM z
+"""
+
+
 def q_bpe_tokens(sf_dir):
     """Train a BPE tokenizer on the corpus and count per-doc subword
     tokens (stages/bpe.py — ONE distributed wordcount, merge learning
@@ -2620,6 +2710,8 @@ def queries() -> Dict[str, Callable]:
         "props_rollup": q_props_rollup,
         "train_shards": q_train_shards,
         "bpe_tokens": q_bpe_tokens,
+        "adaptive_filter": q_adaptive_filter,
+        "model_score": q_model_score,
         "dedup_exact": q_dedup_exact,
         "fingerprint": q_fingerprint,
         "token_count": q_token_count,
@@ -2716,6 +2808,8 @@ def oracle_sql() -> Dict[str, str]:
         "snapshot_diff": SQL_SNAPSHOT_DIFF,
         "props_rollup": SQL_PROPS_ROLLUP,
         "train_shards": SQL_TRAIN_SHARDS,
+        "adaptive_filter": SQL_ADAPTIVE_FILTER,
+        "model_score": SQL_MODEL_SCORE,
         "curation": SQL_CURATION,
         "dedup_exact": SQL_DEDUP_EXACT,
         "fingerprint": SQL_FINGERPRINT,
