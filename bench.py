@@ -56,7 +56,8 @@ BENCH_QUERIES = [
     "char_entropy", "events_rollup", "curation",
     "stats_by_flag", "events_hopping", "distinct_users_by_type",
     "snapshot_diff", "props_rollup", "train_shards", "bpe_tokens",
-    "adaptive_filter", "model_score",
+    "adaptive_filter", "model_score", "ewma_user_value",
+    "hll_users_by_type",
 ]
 
 

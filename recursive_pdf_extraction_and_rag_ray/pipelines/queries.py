@@ -2376,6 +2376,49 @@ FROM events GROUP BY 1
 """
 
 
+EWMA_DECAY = 0.9
+
+
+def q_ewma_user_value(sf_dir):
+    """Recency-weighted per-user value (stages/temporal.py:ewma_by_key
+    — one coarse hash shuffle, vectorized sort + cumcount + power per
+    partition): ewma = sum(value * decay^steps_after), the time-decay
+    feature shape."""
+    from ..stages.temporal import ewma_by_key
+
+    ds = _t(sf_dir, "events", columns=["user_id", "ts", "event_id",
+                                       "value"])
+    return ewma_by_key(ds, key="user_id", ts="ts",
+                       order_tiebreak="event_id", value_col="value",
+                       decay=EWMA_DECAY).sort("user_id")
+
+
+SQL_EWMA_USER_VALUE = f"""
+SELECT user_id, round(sum(value * pow({EWMA_DECAY}, rn)), 6) AS ewma
+FROM (SELECT user_id, value,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts DESC, event_id DESC) - 1
+               AS rn
+      FROM events)
+GROUP BY user_id
+"""
+
+
+def q_hll_users_by_type(sf_dir):
+    """Per-key HyperLogLog distinct estimate
+    (stages/sketch.py:hll_by_key — batch-premaxed (key, register, rank)
+    rows, associative max merge; fixed shuffle volume regardless of
+    value cardinality, the web-scale complement of the exact
+    distinct_users_by_type). Rows-only: +/-1.6%-sigma estimates have no
+    SQL-exact equivalent; the error bound and exact-merge invariance
+    are pinned in tests/test_sketches.py."""
+    from ..stages.sketch import hll_by_key
+
+    ds = _t(sf_dir, "events", columns=["event_type", "user_id"])
+    return hll_by_key(ds, key_col="event_type",
+                      val_col="user_id").sort("event_type")
+
+
 ADAPTIVE_LO_P = 0.1
 ADAPTIVE_HI_P = 0.9
 
@@ -2712,6 +2755,8 @@ def queries() -> Dict[str, Callable]:
         "bpe_tokens": q_bpe_tokens,
         "adaptive_filter": q_adaptive_filter,
         "model_score": q_model_score,
+        "ewma_user_value": q_ewma_user_value,
+        "hll_users_by_type": q_hll_users_by_type,
         "dedup_exact": q_dedup_exact,
         "fingerprint": q_fingerprint,
         "token_count": q_token_count,
@@ -2810,6 +2855,7 @@ def oracle_sql() -> Dict[str, str]:
         "train_shards": SQL_TRAIN_SHARDS,
         "adaptive_filter": SQL_ADAPTIVE_FILTER,
         "model_score": SQL_MODEL_SCORE,
+        "ewma_user_value": SQL_EWMA_USER_VALUE,
         "curation": SQL_CURATION,
         "dedup_exact": SQL_DEDUP_EXACT,
         "fingerprint": SQL_FINGERPRINT,

@@ -473,3 +473,50 @@ def distinct_count_by_key(ds: "ray.data.Dataset", *, key_col: str,
         return df[[key_col, out]]
 
     return agg.map_batches(finish, batch_format="pandas")
+
+
+def hll_by_key(ds: "ray.data.Dataset", *, key_col: str, val_col: str,
+               p: int = HLL_P,
+               out: str = "n_distinct_est") -> "ray.data.Dataset":
+    """HyperLogLog distinct-count PER KEY — the fixed-size complement of
+    ``distinct_count_by_key``: the exact operator shuffles one row per
+    distinct (key, val) pair, which at web scale is the corpus; this
+    one shuffles at most ``keys x 2^p`` slim (key, register, rank)
+    rows per batch REGARDLESS of value cardinality, pre-maxed
+    batch-locally. Register merge is an elementwise max (associative,
+    idempotent — double-counting safe), so the per-key reduce is one
+    vectorized groupby-max; +/-1.6% standard error at p=12 (pinned in
+    tests)."""
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame({key_col: pd.Series([], dtype="object"),
+                                 "reg": pd.Series([], dtype="int64"),
+                                 "rank": pd.Series([], dtype="int64")})
+        h = _mix64(_hash_values(df[val_col]), _SKETCH_SEEDS[0])
+        reg_idx = (h >> np.uint64(64 - p)).astype(np.int64)
+        rest = (h << np.uint64(p)) | np.uint64((1 << p) - 1)
+        lz = np.zeros(len(h), dtype=np.int64)
+        x = rest.copy()
+        for shift in (32, 16, 8, 4, 2, 1):
+            mask = x < (np.uint64(1) << np.uint64(64 - shift))
+            lz[mask] += shift
+            x[mask] = x[mask] << np.uint64(shift)
+        g = pd.DataFrame({key_col: df[key_col].to_numpy(),
+                          "reg": reg_idx, "rank": lz + 1}) \
+            .groupby([key_col, "reg"], sort=False, as_index=False)["rank"] \
+            .max()
+        return g.astype({"reg": "int64", "rank": "int64"})
+
+    def estimate(g: pd.DataFrame) -> pd.DataFrame:
+        m = 1 << p
+        regs = np.zeros(m, dtype=np.int8)
+        mx = g.groupby("reg")["rank"].max()
+        regs[mx.index.to_numpy()] = np.minimum(mx.to_numpy(), 127) \
+            .astype(np.int8)
+        return pd.DataFrame({key_col: [g[key_col].iloc[0]],
+                             out: pd.Series([round(hll_estimate(regs))],
+                                            dtype="int64")})
+
+    return ds.select_columns([key_col, val_col]) \
+        .map_batches(partial, batch_format="pandas") \
+        .groupby(key_col).map_groups(estimate, batch_format="pandas")

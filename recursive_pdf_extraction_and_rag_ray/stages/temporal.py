@@ -357,3 +357,41 @@ def hopping_window_agg(events: "ray.data.Dataset", *, ts: str = "ts",
         return df[["win_start", "n_events", "sum_value"]]
 
     return agg.map_batches(finish, batch_format="pandas")
+
+
+def ewma_by_key(events: "ray.data.Dataset", *, key: str, ts: str,
+                order_tiebreak: str, value_col: str, decay: float,
+                out: str = "ewma", round_dp: int = 6,
+                coarse: int = TEMPORAL_COARSE_GROUPS):
+    """Final exponentially-decayed value per key:
+    ``ewma = sum(value_i * decay^(steps_after_i))`` over the key's
+    events in (ts, tiebreak) order — recency-weighted activity, the
+    time-decay feature engines compute for ranking/abuse/engagement.
+
+    Exactly the SQL window
+    ``sum(value * pow(decay, row_number() OVER (... ORDER BY ts DESC)
+    - 1))``. One coarse hash shuffle on the key; per partition the
+    whole computation is one vectorized sort + cumcount + power + keyed
+    sum (decay^k underflows to 0.0 gracefully for long histories)."""
+    def add_pkey(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["_pkey"] = _knuth_pkey(df[key].to_numpy(), coarse)
+        return df
+
+    keep = [key, ts, order_tiebreak, value_col]
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([key, ts, order_tiebreak],
+                          ascending=[True, False, False],
+                          kind="mergesort")
+        rn = g.groupby(key, sort=False).cumcount().to_numpy()
+        term = g[value_col].to_numpy(dtype=np.float64) \
+            * np.power(decay, rn)
+        res = pd.DataFrame({key: g[key].to_numpy(), "_t": term}) \
+            .groupby(key, sort=True, as_index=False)["_t"].sum()
+        return pd.DataFrame({key: res[key].astype("int64"),
+                             out: res["_t"].round(round_dp)})
+
+    return events.select_columns(keep) \
+        .map_batches(add_pkey, batch_format="pandas") \
+        .groupby("_pkey").map_groups(fold, batch_format="pandas")

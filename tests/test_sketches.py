@@ -103,3 +103,28 @@ def test_tdigest_handles_nan_and_empty(ray_session):
     dig = sketch.tdigest_build(ds, "v")
     assert len(dig) == 0
     assert np.isnan(sketch.tdigest_quantile(dig, [0.5])).all()
+
+
+def test_hll_by_key_error_bound_and_merge_invariance():
+    import numpy as np
+    import pandas as pd
+    import ray
+    from recursive_pdf_extraction_and_rag_ray.stages.sketch import hll_by_key
+
+    rng = np.random.RandomState(4)
+    rows = pd.DataFrame({
+        "k": np.array(["a", "b", "c"])[rng.randint(0, 3, size=30000)],
+        "v": rng.randint(0, 5000, size=30000)})
+    truth = rows.groupby("k")["v"].nunique()
+    outs = []
+    for nparts in (3, 17):
+        ds = ray.data.from_pandas(rows).repartition(nparts)
+        est = hll_by_key(ds, key_col="k", val_col="v").to_pandas() \
+            .sort_values("k").reset_index(drop=True)
+        outs.append(est)
+        for _, r in est.iterrows():
+            err = abs(r["n_distinct_est"] - truth[r["k"]]) / truth[r["k"]]
+            assert err < 0.06, (r["k"], r["n_distinct_est"], truth[r["k"]])
+    # register max is associative + idempotent: identical estimates
+    # under any partitioning
+    pd.testing.assert_frame_equal(outs[0], outs[1])

@@ -121,3 +121,47 @@ def test_sketch_distributed_matches_driver_combine(ray_session):
     a = sketch.heavy_hitters_tokens(ds, k=25, distributed=False)
     b = sketch.heavy_hitters_tokens(ds, k=25, distributed=True)
     pd.testing.assert_frame_equal(a, b)
+
+
+def test_ewma_matches_single_machine_reference():
+    import numpy as np
+    import pandas as pd
+    import ray
+    from recursive_pdf_extraction_and_rag_ray.stages.temporal import ewma_by_key
+
+    rng = np.random.RandomState(6)
+    n = 2000
+    df = pd.DataFrame({
+        "user_id": rng.randint(0, 40, size=n).astype("int64"),
+        "ts": pd.to_datetime(rng.randint(0, 10_000, size=n), unit="s"),
+        "event_id": np.arange(n, dtype="int64"),
+        "value": rng.uniform(0, 10, size=n)})
+    got = ewma_by_key(ray.data.from_pandas(df).repartition(8),
+                      key="user_id", ts="ts", order_tiebreak="event_id",
+                      value_col="value", decay=0.8).to_pandas() \
+        .sort_values("user_id").reset_index(drop=True)
+    ref_rows = []
+    for uid, g in df.groupby("user_id"):
+        g = g.sort_values(["ts", "event_id"], ascending=False)
+        rn = np.arange(len(g))
+        ref_rows.append((uid, round(float(
+            (g["value"].to_numpy() * 0.8 ** rn).sum()), 6)))
+    ref = pd.DataFrame(ref_rows, columns=["user_id", "ewma"])
+    pd.testing.assert_frame_equal(got, ref, atol=1e-6, rtol=0,
+                                  check_exact=False)
+
+
+def test_ewma_decay_zero_keeps_latest_value():
+    import pandas as pd
+    import ray
+    from recursive_pdf_extraction_and_rag_ray.stages.temporal import ewma_by_key
+
+    df = pd.DataFrame({"user_id": [1, 1, 1],
+                       "ts": pd.to_datetime([1, 2, 3], unit="s"),
+                       "event_id": [0, 1, 2],
+                       "value": [5.0, 7.0, 9.0]})
+    got = ewma_by_key(ray.data.from_pandas(df), key="user_id", ts="ts",
+                      order_tiebreak="event_id", value_col="value",
+                      decay=0.0).to_pandas()
+    # 0^0 = 1 for the most recent event, 0 for everything older
+    assert float(got["ewma"][0]) == 9.0
