@@ -2376,6 +2376,45 @@ FROM events GROUP BY 1
 """
 
 
+OUTLIER_Z = 3.0
+
+
+def q_value_outliers(sf_dir):
+    """Per-group z-score outlier detection — the two-pass profile-then-
+    filter shape: grouped moments (stages/stats.py — Chan-mergeable,
+    stable) reduce to a tiny per-type (mean, std) table broadcast into
+    a single streaming filter pass. Both sides threshold with the SAME
+    6-dp-rounded stats so the boundary is bit-identical."""
+    from ..stages import stats
+
+    ds = _t(sf_dir, "events", columns=["event_id", "event_type", "value"])
+    mom = stats.grouped_moments(ds, key_col="event_type",
+                                x_col="value").to_pandas()
+    mean = dict(zip(mom["event_type"], mom["mean_x"]))
+    std = dict(zip(mom["event_type"], mom["std_x"]))
+
+    def keep(df: pd.DataFrame) -> pd.DataFrame:
+        m = df["event_type"].map(mean).to_numpy(dtype=np.float64)
+        s = df["event_type"].map(std).to_numpy(dtype=np.float64)
+        z = np.abs(df["value"].to_numpy(dtype=np.float64) - m) / s
+        out = df.loc[z > OUTLIER_Z,
+                     ["event_id", "event_type", "value"]].copy()
+        out["event_id"] = out["event_id"].astype("int64")
+        return out
+
+    return ds.map_batches(keep, batch_format="pandas")
+
+
+SQL_VALUE_OUTLIERS = f"""
+WITH s AS (SELECT event_type, round(avg(value), 6) AS m,
+                  round(stddev_samp(value), 6) AS sd
+           FROM events GROUP BY 1)
+SELECT e.event_id, e.event_type, e.value
+FROM events e JOIN s USING (event_type)
+WHERE abs(e.value - s.m) / s.sd > {OUTLIER_Z}
+"""
+
+
 EWMA_DECAY = 0.9
 
 
@@ -2756,6 +2795,7 @@ def queries() -> Dict[str, Callable]:
         "adaptive_filter": q_adaptive_filter,
         "model_score": q_model_score,
         "ewma_user_value": q_ewma_user_value,
+        "value_outliers": q_value_outliers,
         "hll_users_by_type": q_hll_users_by_type,
         "dedup_exact": q_dedup_exact,
         "fingerprint": q_fingerprint,
@@ -2856,6 +2896,7 @@ def oracle_sql() -> Dict[str, str]:
         "adaptive_filter": SQL_ADAPTIVE_FILTER,
         "model_score": SQL_MODEL_SCORE,
         "ewma_user_value": SQL_EWMA_USER_VALUE,
+        "value_outliers": SQL_VALUE_OUTLIERS,
         "curation": SQL_CURATION,
         "dedup_exact": SQL_DEDUP_EXACT,
         "fingerprint": SQL_FINGERPRINT,
