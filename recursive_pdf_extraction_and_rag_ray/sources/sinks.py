@@ -34,3 +34,34 @@ def export_csv(ds: "ray.data.Dataset", path: str,
                        if ds.schema() and c in ds.schema().names]
     ds.select_columns(cols).write_csv(path)
     return path
+
+
+def compact_parquet(in_dir: str, out_dir: str, *,
+                    target_rows_per_file: int = 1_000_000,
+                    compression: str = "zstd") -> dict:
+    """Small-file compaction — the maintenance pass every incremental
+    pipeline eventually needs: a directory that accumulated thousands
+    of tiny parquet files (per-shard commits, spilled segments,
+    streaming appends) is rewritten as ceil(rows/target) right-sized
+    files. Streaming read -> repartition -> write; row-count verified
+    before the result is reported, so a failed compaction never looks
+    complete. The input directory is left untouched (caller swaps
+    directories atomically — same pattern as the lineage commits)."""
+    import math
+    import os
+
+    import ray.data
+
+    ds = ray.data.read_parquet(in_dir)
+    n = ds.count()
+    files_in = sum(len(fs) for _, _, fs in os.walk(in_dir))
+    blocks = max(1, math.ceil(n / target_rows_per_file))
+    os.makedirs(out_dir, exist_ok=True)
+    ds.repartition(blocks).write_parquet(out_dir,
+                                         compression=compression)
+    check = ray.data.read_parquet(out_dir).count()
+    if check != n:
+        raise RuntimeError(
+            f"compaction row-count mismatch: {n} in, {check} out")
+    files_out = sum(len(fs) for _, _, fs in os.walk(out_dir))
+    return {"rows": n, "files_in": files_in, "files_out": files_out}

@@ -106,3 +106,26 @@ def test_query_index_topk(built):
     hit = query_index(f"{built}/index", some["text"], k=1).to_pandas()
     assert hit["cos_sim"].iloc[0] > 0.999999
     assert hit["id"].iloc[0] == some["id"]
+
+
+def test_compact_parquet_merges_small_files(tmp_path):
+    import numpy as np
+    import pandas as pd
+    import pyarrow.parquet as pq
+    import ray
+    from recursive_pdf_extraction_and_rag_ray.sources.sinks import compact_parquet
+
+    src = tmp_path / "many"
+    src.mkdir()
+    for i in range(12):
+        pq.write_table(
+            __import__("pyarrow").table(
+                {"a": np.arange(i * 10, i * 10 + 10, dtype="int64")}),
+            str(src / f"f{i}.parquet"))
+    out = tmp_path / "compact"
+    rep = compact_parquet(str(src), str(out), target_rows_per_file=60)
+    assert rep["rows"] == 120
+    assert rep["files_in"] == 12
+    assert rep["files_out"] <= 4
+    back = ray.data.read_parquet(str(out)).to_pandas()
+    assert sorted(back["a"]) == list(range(120))
