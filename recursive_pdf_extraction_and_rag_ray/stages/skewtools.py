@@ -239,22 +239,30 @@ def _explode_tiles(df: pd.DataFrame, n_tiles_ref, id_col: str,
     sub-block), so the pair space is PARTITIONED exactly: pair (x, y) with
     sub-blocks (bx, by) appears in tile (min, max) only. ``n_tiles_ref``
     is a ray.put dict read zero-copy-ish per batch (never re-shipped)."""
-    n_tiles = ray.get(n_tiles_ref)
+    meta, t_max = ray.get(n_tiles_ref)
     outs = []
     for block, g in df.groupby(block_col, sort=False):
-        n = n_tiles.get(block, 1)
+        n, base = meta.get(block, (1, 0))
         b = _tile_sub_block(g[id_col].to_numpy(), n)
         for b2 in range(n):
             part = g.copy()
-            part["_ti"] = np.minimum(b, b2)
-            part["_tj"] = np.maximum(b, b2)
+            ti = np.minimum(b, b2)
+            tj = np.maximum(b, b2)
+            part["_ti"] = ti
+            part["_tj"] = tj
             part["_side"] = (b > b2).astype("int64")
+            # single fused int64 group key: Ray's multi-column groupby
+            # shuffle measures ~10x slower than the same rows under one
+            # int key (see BASELINE.md); (block ordinal, ti, tj) packs
+            # collision-free because ti, tj < t_max
+            part["_gk"] = base + ti * t_max + tj
             outs.append(part)
     if not outs:
         out = df.copy()
         out["_ti"] = pd.Series([], dtype="int64")
         out["_tj"] = pd.Series([], dtype="int64")
         out["_side"] = pd.Series([], dtype="int64")
+        out["_gk"] = pd.Series([], dtype="int64")
         return out
     return pd.concat(outs, ignore_index=True)
 
@@ -289,13 +297,31 @@ def tiled_pair_groups(ds: "ray.data.Dataset", *, block_col: str, id_col: str,
             n_tiles[block] = max(1, -(-int(k) // max_width))
     import functools
 
-    ref = ray.put(n_tiles)
+    # fuse (block, ti, tj) into ONE int64 key: the count pre-pass already
+    # holds every distinct block on the driver, so a dense ordinal per
+    # block is free, and ti/tj < t_max makes the packing collision-free.
+    # Ray's multi-column groupby shuffle is ~10x slower than the same
+    # rows under a single int key (measured in BASELINE.md), and this
+    # groupby moves the REPLICATED pair stream — the stage's whole
+    # shuffle volume.
+    t_max = max(n_tiles.values(), default=1)
+    meta = {}
+    base = 0
+    for block in n_tiles:                     # insertion order, stable
+        meta[block] = (n_tiles[block], base)
+        base += n_tiles[block] * t_max + 1
+    if base >= (1 << 53):                     # float64-roundtrip key bound
+        raise ValueError(
+            f"tile key space {base} exceeds 2^53; raise max_width or "
+            "pre-partition the blocking key")
+
+    ref = ray.put((meta, t_max))
     exploded = ds.map_batches(
         functools.partial(_explode_tiles, n_tiles_ref=ref, id_col=id_col,
                           block_col=block_col),
         batch_format="pandas")
-    return exploded.groupby([block_col, "_ti", "_tj"]).map_groups(
-        pair_fn, batch_format="pandas")
+    return exploded.groupby("_gk").map_groups(pair_fn,
+                                              batch_format="pandas")
 
 
 # byte gate for flagship routing: normal synthetic docs are ~2-20 KB,

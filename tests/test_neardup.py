@@ -96,7 +96,8 @@ def test_tiled_pairs_exact_under_hot_key(ray_session):
 
     # every tile holds at most 2*width rows -> no O(k^2) single task
     tiles = _explode_tiles(df.drop(columns=["embedding"]),
-                           ray.put({"hot": -(-n // width)}),
+                           ray.put(({"hot": (-(-n // width), 0)},
+                                    -(-n // width))),
                            id_col="vec_id", block_col="label")
     widths = tiles.groupby(["label", "_ti", "_tj"]).size()
     # sub-blocks are hash-assigned, so ~2*width per cross tile with modest
@@ -121,7 +122,7 @@ def test_tiling_partitions_pair_space_exactly(n, w, ray_session):
     df = pd.DataFrame({"block": ["b"] * n,
                        "doc_id": np.arange(n, dtype=np.int64)})
     n_tiles = max(1, -(-n // w))
-    tiles = _explode_tiles(df, ray.put({"b": n_tiles}),
+    tiles = _explode_tiles(df, ray.put(({"b": (n_tiles, 0)}, n_tiles)),
                            id_col="doc_id", block_col="block")
     seen = {}
     for (_, ti, tj), g in tiles.groupby(["block", "_ti", "_tj"]):
