@@ -71,13 +71,25 @@ def semantic_neardup_pairs(ds: "ray.data.Dataset", *,
                            id_col: str = "vec_id",
                            vec_col: str = "embedding",
                            source_path: Optional[str] = None,
-                           max_width: int = 200) -> "ray.data.Dataset":
+                           max_width: int = 200,
+                           refine_iters: int = 0) -> "ray.data.Dataset":
     """(doc_a, doc_b, cos_sim) pairs with cosine >= threshold that share
     a k-means cluster (doc_a < doc_b). Approximation is the published
     SemDeDup trade: a cross-cluster near-dup pair is missed; raise
-    recall by lowering ``n_clusters``at quadratic-in-cluster-width cost."""
+    recall by lowering ``n_clusters``at quadratic-in-cluster-width cost.
+
+    ``refine_iters > 0`` upgrades the sample-trained quantizer with that
+    many FULL-CORPUS Lloyd iterations (stages/clustering.py:kmeans_fit)
+    — tighter clusters move fewer true near-dup pairs across cluster
+    boundaries, trading one extra corpus pass per iteration for
+    recall."""
     cents = ivf_train_centroids(ds, n_centroids=n_clusters, id_col=id_col,
                                 vec_col=vec_col, source_path=source_path)
+    if refine_iters > 0:
+        from .clustering import kmeans_fit
+        cents = kmeans_fit(ds, n_clusters=n_clusters, iters=refine_iters,
+                           id_col=id_col, vec_col=vec_col,
+                           init_centroids=cents).centroids
     blocked = assign_clusters(ds.select_columns([id_col, vec_col]), cents,
                               vec_col=vec_col)
     pairs = cosine_neardup_pairs(blocked, block_col=CLUSTER_COL,
@@ -97,14 +109,16 @@ def semantic_dedup_keep_first(ds: "ray.data.Dataset", *,
                               source_path: Optional[str] = None,
                               distributed: bool = False,
                               num_partitions: int = 0,
-                              max_width: int = 200) -> "ray.data.Dataset":
+                              max_width: int = 200,
+                              refine_iters: int = 0) -> "ray.data.Dataset":
     """Survivor ids after semantic dedup: for every connected component
     of the within-cluster cosine>=threshold pair graph, keep the minimum
     id (keep-first, same policy as exact dedup J1). Returns a Dataset of
     (id_col,)."""
     pairs_ds = semantic_neardup_pairs(
         ds, threshold=threshold, n_clusters=n_clusters, id_col=id_col,
-        vec_col=vec_col, source_path=source_path, max_width=max_width)
+        vec_col=vec_col, source_path=source_path, max_width=max_width,
+        refine_iters=refine_iters)
 
     if distributed:
         losers_ds = components_losers_ds(pairs_ds,

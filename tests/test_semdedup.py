@@ -56,3 +56,33 @@ def test_semantic_dedup_distributed_matches_driver(ray_session):
                                            distributed=True) \
         .to_pandas()["vec_id"].sort_values().tolist()
     assert a == b and len(a) == 290
+
+
+def test_refined_centroids_keep_planted_dup_recall():
+    import numpy as np
+    import ray
+    from recursive_pdf_extraction_and_rag_ray.stages import semdedup
+    from recursive_pdf_extraction_and_rag_ray.stages.similarity import _normalize
+
+    rng = np.random.RandomState(12)
+    base = _normalize(rng.normal(size=(6, 16)))
+    rows = []
+    for i in range(120):
+        v = base[i % 6] + 0.01 * rng.normal(size=16)
+        rows.append({"vec_id": i, "embedding": v})
+    # planted near-dup: 500 is a paraphrase of 0
+    rows.append({"vec_id": 500,
+                 "embedding": np.asarray(rows[0]["embedding"]) + 1e-4})
+    ds = ray.data.from_items(rows)
+    plain = semdedup.semantic_dedup_keep_first(
+        ds, threshold=0.98, n_clusters=6, max_width=50).to_pandas()
+    refined = semdedup.semantic_dedup_keep_first(
+        ds, threshold=0.98, n_clusters=6, max_width=50,
+        refine_iters=3).to_pandas()
+    # the planted duplicate loses to id 0 in BOTH paths
+    assert 500 not in set(plain["vec_id"])
+    assert 500 not in set(refined["vec_id"])
+    assert 0 in set(refined["vec_id"])
+    # refinement never yields MORE survivors than sample-only centroids
+    # on this fixture (tighter clusters find >= the same pairs)
+    assert len(refined) <= len(plain)
