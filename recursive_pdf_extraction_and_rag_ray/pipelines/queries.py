@@ -876,6 +876,48 @@ LIMIT 10
 """
 
 
+KNN_MULTI_NQ = 5
+
+
+def q_knn_multi(sf_dir):
+    """Batched multi-query exact KNN: 5 query vectors share ONE corpus
+    scan (a single (batch x dim) @ (dim x 5) matmul per batch against
+    the broadcast query matrix), per-qid top-5 merge
+    (stages/similarity.py:knn_bruteforce multi-query path — the
+    retrieval-serving shape where queries arrive in batches)."""
+    q = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"),
+                      columns=["vec_id", "embedding"],
+                      filters=[("vec_id", "<", KNN_MULTI_NQ)])
+    rows = sorted(q.to_pylist(), key=lambda r: r["vec_id"])
+    qmat = np.asarray([r["embedding"] for r in rows], dtype=np.float64)
+    ds = _t(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    out = similarity.knn_bruteforce(
+        ds, qmat, k=5, exclude_ids=list(range(KNN_MULTI_NQ)))
+    df = out.to_pandas()[["qid", "vec_id", "cos_sim"]]
+    df["qid"] = df["qid"].astype("int64")
+    return df.sort_values(["qid", "cos_sim", "vec_id"],
+                          ascending=[True, False, True]) \
+        .reset_index(drop=True)
+
+
+SQL_KNN_MULTI = f"""
+WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qe
+           FROM embeddings WHERE vec_id < {KNN_MULTI_NQ}),
+scored AS (
+  SELECT q.qid, e.vec_id,
+         round(list_cosine_similarity(e.embedding::DOUBLE[], q.qe), 6)
+           AS cos_sim
+  FROM embeddings e, q
+  WHERE e.vec_id >= {KNN_MULTI_NQ}),
+ranked AS (
+  SELECT qid, vec_id, cos_sim,
+         row_number() OVER (PARTITION BY qid
+                            ORDER BY cos_sim DESC, vec_id) AS rn
+  FROM scored)
+SELECT qid, vec_id, cos_sim FROM ranked WHERE rn <= 5
+"""
+
+
 def q_cosine_neardup(sf_dir):
     """Embedding-cosine near-dup pairs within a label block."""
     ds = _t(sf_dir, "embeddings", columns=["label", "vec_id", "embedding"])
@@ -2796,6 +2838,7 @@ def queries() -> Dict[str, Callable]:
         "model_score": q_model_score,
         "ewma_user_value": q_ewma_user_value,
         "value_outliers": q_value_outliers,
+        "knn_multi": q_knn_multi,
         "hll_users_by_type": q_hll_users_by_type,
         "dedup_exact": q_dedup_exact,
         "fingerprint": q_fingerprint,
@@ -2897,6 +2940,7 @@ def oracle_sql() -> Dict[str, str]:
         "model_score": SQL_MODEL_SCORE,
         "ewma_user_value": SQL_EWMA_USER_VALUE,
         "value_outliers": SQL_VALUE_OUTLIERS,
+        "knn_multi": SQL_KNN_MULTI,
         "curation": SQL_CURATION,
         "dedup_exact": SQL_DEDUP_EXACT,
         "fingerprint": SQL_FINGERPRINT,

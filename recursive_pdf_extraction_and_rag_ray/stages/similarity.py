@@ -74,15 +74,30 @@ class _BatchTopK:
 def knn_bruteforce(ds: "ray.data.Dataset", query: np.ndarray, k: int = 10,
                    *, id_col: str = "vec_id", vec_col: str = "embedding",
                    exclude_ids=None) -> "ray.data.Dataset":
-    """Exact cosine top-k of ``query`` (1 or more vectors) over ``ds``."""
-    query_ref = ray.put(np.asarray(query, dtype=np.float64))
+    """Exact cosine top-k of ``query`` (1 or more vectors) over ``ds``.
+    Multi-query batches share the one corpus scan (one matmul per batch
+    against the whole broadcast query matrix); the merge is per-qid —
+    a global ``limit(k)`` would hand every slot to qid 0."""
+    qarr = np.atleast_2d(np.asarray(query, dtype=np.float64))
+    query_ref = ray.put(qarr)
     partials = ds.select_columns([id_col, vec_col]).map_batches(
         _BatchTopK, batch_format="pandas",
         fn_constructor_kwargs=dict(query_ref=query_ref, k=k, id_col=id_col,
                                    vec_col=vec_col, exclude_ids=exclude_ids),
         concurrency=(1, 8), batch_size=4096)
-    return partials.sort(["qid", "cos_sim", id_col],
-                         descending=[False, True, False]).limit(k)
+    if qarr.shape[0] == 1:
+        return partials.sort(["qid", "cos_sim", id_col],
+                             descending=[False, True, False]).limit(k)
+
+    def head_k(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["cos_sim", id_col], ascending=[False, True],
+                          kind="mergesort")
+        return g.head(k).reset_index(drop=True)
+
+    # partials are <= k rows per (batch, qid): the per-qid merge moves
+    # kilobytes, map_groups over n_queries groups is the cheap exact path
+    return partials.groupby("qid").map_groups(head_k,
+                                              batch_format="pandas")
 
 
 import functools
