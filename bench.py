@@ -57,7 +57,7 @@ BENCH_QUERIES = [
     "stats_by_flag", "events_hopping", "distinct_users_by_type",
     "snapshot_diff", "props_rollup", "train_shards", "bpe_tokens",
     "adaptive_filter", "model_score", "ewma_user_value",
-    "hll_users_by_type", "value_outliers", "knn_multi",
+    "hll_users_by_type", "value_outliers", "knn_multi", "percent_rank",
 ]
 
 

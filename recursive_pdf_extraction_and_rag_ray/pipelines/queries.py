@@ -876,6 +876,48 @@ LIMIT 10
 """
 
 
+def q_percent_rank(sf_dir):
+    """Per-user percent_rank of purchase values — the rank-normalization
+    window (ties share the min rank; (rank-1)/(n-1), 0 for singleton
+    partitions). Type filter pushed into the parquet read; one coarse
+    user-hash shuffle, vectorized grouped rank per partition."""
+    import pyarrow.dataset as pads
+
+    from ..stages.temporal import TEMPORAL_COARSE_GROUPS, _knuth_pkey
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["event_id", "user_id", "value", "event_type"],
+        filter=(pads.field("event_type") == "purchase"))
+
+    def add_pkey(df: pd.DataFrame) -> pd.DataFrame:
+        out = df[["event_id", "user_id", "value"]].copy()
+        out["_pkey"] = _knuth_pkey(out["user_id"].to_numpy(),
+                                   TEMPORAL_COARSE_GROUPS)
+        return out
+
+    def prank(g: pd.DataFrame) -> pd.DataFrame:
+        grp = g.groupby("user_id", sort=False)["value"]
+        r = grp.rank(method="min").to_numpy()
+        n = grp.transform("size").to_numpy()
+        pr = np.where(n > 1, (r - 1) / np.maximum(n - 1, 1), 0.0)
+        return pd.DataFrame({
+            "event_id": g["event_id"].astype("int64"),
+            "user_id": g["user_id"].astype("int64"),
+            "pr": np.round(pr, 6)})
+
+    return ds.map_batches(add_pkey, batch_format="pandas") \
+        .groupby("_pkey").map_groups(prank, batch_format="pandas")
+
+
+SQL_PERCENT_RANK = """
+SELECT event_id, user_id,
+       round(percent_rank() OVER (PARTITION BY user_id ORDER BY value),
+             6) AS pr
+FROM events WHERE event_type = 'purchase'
+"""
+
+
 KNN_MULTI_NQ = 5
 
 
@@ -2839,6 +2881,7 @@ def queries() -> Dict[str, Callable]:
         "ewma_user_value": q_ewma_user_value,
         "value_outliers": q_value_outliers,
         "knn_multi": q_knn_multi,
+        "percent_rank": q_percent_rank,
         "hll_users_by_type": q_hll_users_by_type,
         "dedup_exact": q_dedup_exact,
         "fingerprint": q_fingerprint,
@@ -2941,6 +2984,7 @@ def oracle_sql() -> Dict[str, str]:
         "ewma_user_value": SQL_EWMA_USER_VALUE,
         "value_outliers": SQL_VALUE_OUTLIERS,
         "knn_multi": SQL_KNN_MULTI,
+        "percent_rank": SQL_PERCENT_RANK,
         "curation": SQL_CURATION,
         "dedup_exact": SQL_DEDUP_EXACT,
         "fingerprint": SQL_FINGERPRINT,
