@@ -31,7 +31,6 @@ pipeline adds.
 
 from __future__ import annotations
 
-import functools
 import re
 from typing import Dict, List, Tuple
 
