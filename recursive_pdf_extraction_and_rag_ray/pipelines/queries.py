@@ -1553,10 +1553,11 @@ ON c_custkey = e.user_id
 def q_cms_event_counts(sf_dir):
     """Count-Min sketch estimates for the event-type counts
     (stages/sketch.py:cms_build — fixed-size grids summed across tasks,
-    no groupby). Rows-only: the estimate is exact here because the
-    5-value space can't collide at width 16384; the one-sided error
-    bound is pinned in tests/test_sketches.py on an adversarial
-    cardinality instead."""
+    no groupby). SQL oracle: exact counts — at width 16384 the 5-value
+    key space takes no collisions in any depth row, so the min-over-rows
+    estimate EQUALS the exact count and the driver hash-match proves it;
+    the one-sided error bound on adversarial cardinalities is pinned in
+    tests/test_sketches.py."""
     from ..stages import sketch
 
     ds = _t(sf_dir, "events", columns=["event_type"])
@@ -1565,6 +1566,15 @@ def q_cms_event_counts(sf_dir):
     return pd.DataFrame({
         "event_type": types,
         "n_est": sketch.cms_query(cms, types).astype("int64")})
+
+
+SQL_CMS_EVENT_COUNTS = """
+WITH t(event_type) AS (VALUES
+  ('click'), ('error'), ('purchase'), ('signup'), ('view'))
+SELECT t.event_type, CAST(coalesce(c.n, 0) AS BIGINT) AS n_est
+FROM t LEFT JOIN (SELECT event_type, count(*) AS n
+                  FROM events GROUP BY event_type) c USING (event_type)
+"""
 
 
 def q_hll_distinct_users(sf_dir):
@@ -1650,10 +1660,11 @@ def q_pack_documents(sf_dir):
     """Sequence packing for a trainer: greedy first-fit of documents
     (len = reference max(1, n_chars//4) token heuristic) into
     PACK_BUDGET-token packs, deterministic within hash partitions
-    (stages/packing.py:pack_sequences). Rows-only: the greedy
-    reset-scan isn't SQL-expressible; invariants (budget respected,
-    exactly-once assignment, partitioning-invariance) pinned in
-    tests/test_packing.py."""
+    (stages/packing.py:pack_sequences). SQL oracle: the greedy
+    reset-scan is a pure function of the (id, len) set, so a recursive
+    CTE walks each hash partition in id order (depth = max partition
+    size, all partitions stepped in parallel); invariants additionally
+    pinned in tests/test_packing.py."""
     from ..stages import packing
 
     ds = _t(sf_dir, "documents", columns=["doc_id", "n_chars"])
@@ -1667,6 +1678,48 @@ def q_pack_documents(sf_dir):
     return packing.pack_sequences(
         ds.map_batches(to_len, batch_format="pandas"),
         id_col="doc_id", len_col="n_tokens", budget=PACK_BUDGET)
+
+
+# exact replay of stages/packing.py:pack_sequences: knuth32 hash ->
+# 256 partitions, ascending-id greedy fill with reset-on-overflow
+# (carried as (pack, pos, off) after-state through a recursive CTE — all
+# partitions step in parallel, depth = max rows per partition), lens
+# capped at the budget, pack_id = partition * 2^32 + local sequence.
+SQL_PACK_DOCUMENTS = f"""
+WITH RECURSIVE r AS (
+  SELECT doc_id,
+         CAST(greatest(1, n_chars // 4) AS BIGINT) AS n_tokens,
+         CAST(least(greatest(1, n_chars // 4), {PACK_BUDGET})
+              AS BIGINT) AS len,
+         CAST(((doc_id * 2654435761) % 4294967296) % 256 AS BIGINT) AS pk,
+         row_number() OVER (
+           PARTITION BY ((doc_id * 2654435761) % 4294967296) % 256
+           ORDER BY doc_id) AS rn
+  FROM documents),
+walk AS (
+  SELECT pk, rn, doc_id, n_tokens, len,
+         CAST(0 AS BIGINT) AS pack, CAST(0 AS BIGINT) AS pos,
+         CAST(0 AS BIGINT) AS off,
+         len AS off_after, CAST(1 AS BIGINT) AS pos_after
+  FROM r WHERE rn = 1
+  UNION ALL
+  SELECT r.pk, r.rn, r.doc_id, r.n_tokens, r.len,
+         CASE WHEN w.off_after + r.len > {PACK_BUDGET}
+              THEN w.pack + 1 ELSE w.pack END,
+         CASE WHEN w.off_after + r.len > {PACK_BUDGET}
+              THEN 0 ELSE w.pos_after END,
+         CASE WHEN w.off_after + r.len > {PACK_BUDGET}
+              THEN 0 ELSE w.off_after END,
+         CASE WHEN w.off_after + r.len > {PACK_BUDGET}
+              THEN r.len ELSE w.off_after + r.len END,
+         CASE WHEN w.off_after + r.len > {PACK_BUDGET}
+              THEN 1 ELSE w.pos_after + 1 END
+  FROM walk w JOIN r ON r.pk = w.pk AND r.rn = w.rn + 1)
+SELECT doc_id, n_tokens,
+       CAST(pk * 4294967296 + pack AS BIGINT) AS pack_id,
+       pos AS pack_pos, off AS pack_offset
+FROM walk
+"""
 
 
 # --- training-corpus curation (stages/corpusfilters.py) ----------------------
@@ -1869,8 +1922,10 @@ def q_contamination(sf_dir):
     benchmark — exact dups and heavy-overlap docs get flagged too).
     Shingle set built once, broadcast via ray.put, probed by binary
     search per doc (stages/corpusfilters.py:mark_contamination).
-    Rows-only: shingle hashing is not SQL-expressible; planted-overlap
-    semantics pinned in tests/test_corpusfilters.py."""
+    SQL oracle: the engine counts DISTINCT shingles via 64-bit hashes;
+    the SQL counts the distinct 8-gram STRINGS — equal unless two
+    different grams of one doc collide in 64 bits, which the driver
+    hash-match then proves did not happen."""
     from ..stages import corpusfilters
 
     docs = _t(sf_dir, "documents", columns=["doc_id", "text"])
@@ -1878,6 +1933,32 @@ def q_contamination(sf_dir):
         lambda df: df[df["doc_id"] % 97 == 0].reset_index(drop=True),
         batch_format="pandas").to_pandas()
     return corpusfilters.mark_contamination(docs, list(bench["text"]))
+
+
+# same tokenization contract as token_count (lower + \s+ split + empty
+# filter); grams are distinct per doc; benchmark = docs with id % 97 == 0
+SQL_CONTAMINATION = r"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '\s+'),
+                     x -> x <> '') AS t
+  FROM documents),
+grams AS (
+  SELECT DISTINCT doc_id, array_to_string(t[i:i+7], ' ') AS g
+  FROM toks, unnest(range(1, len(t) - 6)) AS u(i)
+  WHERE len(t) >= 8),
+bench AS (SELECT DISTINCT g FROM grams WHERE doc_id % 97 = 0),
+hits AS (SELECT d.doc_id, count(*) AS n_hits
+         FROM grams d JOIN bench b USING (g) GROUP BY d.doc_id),
+nsh AS (SELECT doc_id, count(*) AS n_shingles FROM grams GROUP BY doc_id)
+SELECT t.doc_id,
+       CAST(coalesce(n.n_shingles, 0) AS BIGINT) AS n_shingles,
+       CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
+       coalesce(h.n_hits, 0) >= 1 AS contaminated
+FROM toks t
+LEFT JOIN nsh n USING (doc_id)
+LEFT JOIN hits h USING (doc_id)
+"""
 
 
 def q_boilerplate_scrub(sf_dir):
@@ -2114,6 +2195,124 @@ LIMIT 10
 """.replace("__TERMS__", BM25_TERMS_SQL)
 
 
+def q_bm25_from_index(sf_dir):
+    """BM25 top-10 scored from the PERSISTED index (the serving path
+    the batch scorer is not): build the with_doclen inverted index
+    once, then score the query entirely from posting shards — df from
+    the shard rows, dl from the 'id:tf:dl' entries, N from parquet
+    metadata; the corpus text is never touched at scoring time
+    (stages/retrieval_text.py:bm25_topk_from_index). Same oracle as
+    bm25_topk: identical ranking either way."""
+    from ..stages import retrieval_text
+
+    docs = _t(sf_dir, "documents", columns=["doc_id", "text"])
+    idx = retrieval_text.inverted_index(docs, with_doclen=True)
+    n_docs = _t(sf_dir, "documents", columns=["doc_id"]).count()
+    return retrieval_text.bm25_topk_from_index(
+        idx, BM25_TERMS, n_docs=n_docs, k=10)
+
+
+# --- distributed-twin entries -------------------------------------------------
+# The scale paths (hash-join dup marking, distributed near-dup reduces,
+# distributed components) are forced locally in
+# tests/test_distributed_paths.py; these registry entries give each twin the
+# same hard driver signal as the default path.
+
+def _docs_as_url_sha(sf_dir):
+    """documents -> (url, text_sha256) in the flagship's key shape: a
+    deterministic zero-padded url (so string-min == id-min order) and
+    the md5 text fingerprint."""
+    ds = _t(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def conv(df: pd.DataFrame) -> pd.DataFrame:
+        fp = textstats.fingerprint_batch(df)["fp"]
+        url = "u" + df["doc_id"].astype("int64").astype(str).str.zfill(8)
+        return pd.DataFrame({"url": url.to_numpy(),
+                             "text_sha256": fp.to_numpy()})
+
+    return ds.map_batches(conv, batch_format="pandas")
+
+
+def q_dedup_mark_join(sf_dir):
+    """Dup-marking via the DISTRIBUTED twin of the flagship's broadcast
+    probe: winner table from one key-only aggregate, then a
+    hash-partitioned left-outer join attaches duplicate_of
+    (stages/dedup.py:winners_dataset_from_docs + mark_duplicates_join
+    — the dup-saturated-corpus path where the winner map is too big to
+    ray.put)."""
+    from ..stages import dedup as dedup_mod
+
+    docs = _docs_as_url_sha(sf_dir)
+    winners = dedup_mod.winners_dataset_from_docs(docs)
+    return dedup_mod.mark_duplicates_join(docs, winners,
+                                          num_partitions=16) \
+        .select_columns(["url", "duplicate_of"])
+
+
+def q_dedup_mark_broadcast(sf_dir):
+    """Dup-marking via the flagship's BROADCAST path: dup-group winner
+    map ray.put once, probed per batch with an Arrow-native hash lookup
+    (stages/dedup.py:compute_dup_winners + MarkDuplicatesFromBroadcast)
+    — same oracle as the join twin, proving the two paths agree."""
+    from ..stages import dedup as dedup_mod
+
+    docs = _docs_as_url_sha(sf_dir)
+    ref = ray.put(dedup_mod.compute_dup_winners(docs))
+    return docs.map_batches(
+        dedup_mod.MarkDuplicatesFromBroadcast,
+        fn_constructor_args=(ref,), batch_format="pyarrow",
+        concurrency=(1, 4)).select_columns(["url", "duplicate_of"])
+
+
+SQL_DEDUP_MARK = """
+WITH d AS (
+  SELECT 'u' || lpad(CAST(doc_id AS VARCHAR), 8, '0') AS url,
+         md5(text) AS fp
+  FROM documents),
+w AS (SELECT fp, min(url) AS winner FROM d GROUP BY fp)
+SELECT d.url,
+       CASE WHEN w.winner = d.url THEN '' ELSE w.winner END AS duplicate_of
+FROM d JOIN w USING (fp)
+"""
+
+
+def q_minhash_pairs_dist(sf_dir):
+    """minhash_pairs through the distributed=True path (hot buckets as a
+    hash-partitioned reduce + semi-join, no driver bucket combine) —
+    same SQL oracle as the default path."""
+    ds = _t(sf_dir, "documents", columns=["doc_id", "text"])
+    return neardup.minhash_lsh_pairs(ds, threshold=0.5, distributed=True)
+
+
+def q_simhash_pairs_dist(sf_dir):
+    """simhash_pairs through the distributed=True path — same SQL
+    oracle as the default path."""
+    ds = _t(sf_dir, "documents", columns=["doc_id", "text"])
+    return neardup.simhash_pairs(ds, max_hamming=3, distributed=True)
+
+
+def q_neardup_dedup_dist(sf_dir):
+    """Fuzzy dedup keep-first through the distributed=True path
+    (pairs stay a Dataset; components via min-label propagation instead
+    of the driver union-find) — same recursive-CTE oracle."""
+    ds = _t(sf_dir, "documents", columns=["doc_id", "text"])
+    return neardup.neardup_dedup_keep_first(ds, threshold=0.5,
+                                            distributed=True)
+
+
+def q_semantic_dedup_dist(sf_dir):
+    """SemDeDup survivors through the distributed=True components path
+    (stages/semdedup.py). Rows-only like semantic_dedup (iterative
+    k-means isn't SQL-expressible); parity between the two paths is
+    additionally pinned in tests/test_semdedup.py."""
+    from ..stages import semdedup
+
+    ds = _t(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    return semdedup.semantic_dedup_keep_first(
+        ds, threshold=0.3, distributed=True,
+        source_path=os.path.join(sf_dir, "embeddings.parquet"))
+
+
 # --- snapshot / incremental-corpus operators ---------------------------------
 
 def q_latest_event_per_user(sf_dir):
@@ -2169,11 +2368,19 @@ INCR_DEDUP_CUT = 250
 
 
 def q_incremental_dedup(sf_dir):
-    """Bloom-filtered incremental dedup: new shard (doc_id >= 250)
-    against the existing corpus (doc_id < 250). Bloom-negative rows
-    pass with zero shuffle; only bloom-positive candidates pay the
-    exact anti-join, so the survivor set is exact
-    (stages/dedup.py:incremental_dedup_bloom)."""
+    """Bloom-filtered incremental dedup against a PERSISTED old-side
+    state: new shard (doc_id >= 250) vs the existing corpus
+    (doc_id < 250). The old corpus is fingerprinted ONCE into a
+    maintained state dir (slim fp parquet + packed bloom bitmap,
+    stages/dedup.py:build_incremental_state, keyed by source
+    path+mtime so a data change rebuilds); every run after that reads
+    ONLY the new-side text plus the state — bloom-negative rows pass
+    with zero shuffle, bloom-positive candidates pay the exact
+    anti-join against the persisted fp table, so the survivor set is
+    exact (stages/dedup.py:incremental_dedup_from_state)."""
+    import hashlib
+    import shutil
+
     import pyarrow.dataset as pads
 
     from ..stages import dedup as dedup_mod
@@ -2182,13 +2389,28 @@ def q_incremental_dedup(sf_dir):
     # skip the other side's data instead of scanning the text column
     # twice and filtering after the fact
     path = os.path.join(sf_dir, "documents.parquet")
-    old = ray.data.read_parquet(
-        path, columns=["doc_id", "text"],
-        filter=(pads.field("doc_id") < INCR_DEDUP_CUT))
     new = ray.data.read_parquet(
         path, columns=["doc_id", "text"],
         filter=(pads.field("doc_id") >= INCR_DEDUP_CUT))
-    return dedup_mod.incremental_dedup_bloom(new, old)
+
+    key = hashlib.md5(
+        f"{os.path.abspath(path)}:{os.path.getmtime(path)}:"
+        f"{INCR_DEDUP_CUT}:v2".encode()).hexdigest()[:16]
+    state = os.path.join("/tmp/recursive_pdf_extraction_and_rag_ray_state", f"incr_{key}")
+    if not os.path.exists(os.path.join(state, "_SUCCESS")):
+        old = ray.data.read_parquet(
+            path, columns=["doc_id", "text"],
+            filter=(pads.field("doc_id") < INCR_DEDUP_CUT))
+        # build into a private dir, commit with one atomic rename so
+        # concurrent builders can't interleave parquet fragments
+        tmp = f"{state}.tmp.{os.getpid()}"
+        dedup_mod.build_incremental_state(old, tmp)
+        os.makedirs(os.path.dirname(state), exist_ok=True)
+        try:
+            os.rename(tmp, state)
+        except OSError:
+            shutil.rmtree(tmp, ignore_errors=True)  # another builder won
+    return dedup_mod.incremental_dedup_from_state(new, state)
 
 
 SQL_INCREMENTAL_DEDUP = f"""
@@ -2663,7 +2885,8 @@ def q_train_shards(sf_dir):
     ds = _t(sf_dir, "documents", columns=["doc_id", "text"])
 
     def toks(df: pd.DataFrame) -> pd.DataFrame:
-        n = (df["text"].str.len().to_numpy().astype("int64") + 3) // 4
+        n = (df["text"].fillna("").str.len().to_numpy()
+             .astype("int64") + 3) // 4
         return pd.DataFrame({"doc_id": df["doc_id"].astype("int64"),
                              "n_tok": np.maximum(1, n)})
 
@@ -2828,100 +3051,51 @@ FROM ranked r JOIN q USING (source) WHERE r.qrn <= q.quota
 
 
 def queries() -> Dict[str, Callable]:
-    return {
-        "agg_rollup": q_agg_rollup,
-        "filter_project": q_filter_project,
-        "topk_orders": q_topk_orders,
-        "topk_per_group": q_topk_per_group,
-        "broadcast_join_agg": q_broadcast_join_agg,
-        "hash_join_agg": q_hash_join_agg,
-        "events_sessionize": q_events_sessionize,
-        "distinct_event_types": q_distinct_event_types,
-        "status_counts": q_status_counts,
-        "events_by_user": q_events_by_user,
-        "events_hourly": q_events_hourly,
-        "asof_join": q_asof_join,
-        "range_join_bands": q_range_join_bands,
-        "rolling_user_value": q_rolling_user_value,
-        "top_tokens": q_top_tokens,
-        "nchars_quantiles": q_nchars_quantiles,
-        "events_window": q_events_window,
-        "value_quantiles_by_type": q_value_quantiles_by_type,
-        "anti_join_customers": q_anti_join_customers,
-        "stratified_sample": q_stratified_sample,
-        "profile_orders": q_profile_orders,
-        "value_histogram": q_value_histogram,
-        "events_pivot": q_events_pivot,
-        "customer_activity": q_customer_activity,
-        "gopher_repetition": q_gopher_repetition,
-        "c4_quality": q_c4_quality,
-        "pii_redact": q_pii_redact,
-        "train_split": q_train_split,
-        "orders_enriched": q_orders_enriched,
-        "unigram_nll": q_unigram_nll,
-        "contamination": q_contamination,
-        "boilerplate_scrub": q_boilerplate_scrub,
-        "shuffle_rank": q_shuffle_rank,
-        "pack_documents": q_pack_documents,
-        "cms_event_counts": q_cms_event_counts,
-        "hll_distinct_users": q_hll_distinct_users,
-        "tdigest_value_quantiles": q_tdigest_value_quantiles,
-        "semantic_dedup": q_semantic_dedup,
-        "kmeans_clusters": q_kmeans_clusters,
-        "pq_ann": q_pq_ann,
-        "stats_by_flag": q_stats_by_flag,
-        "events_hopping": q_events_hopping,
-        "distinct_users_by_type": q_distinct_users_by_type,
-        "snapshot_diff": q_snapshot_diff,
-        "props_rollup": q_props_rollup,
-        "train_shards": q_train_shards,
-        "bpe_tokens": q_bpe_tokens,
-        "adaptive_filter": q_adaptive_filter,
-        "model_score": q_model_score,
-        "ewma_user_value": q_ewma_user_value,
-        "value_outliers": q_value_outliers,
-        "knn_multi": q_knn_multi,
-        "percent_rank": q_percent_rank,
-        "hll_users_by_type": q_hll_users_by_type,
-        "dedup_exact": q_dedup_exact,
-        "fingerprint": q_fingerprint,
-        "token_count": q_token_count,
-        "lang_id": q_lang_id,
-        "quality": q_quality,
-        "doc_type": q_doc_type,
-        "completeness": q_completeness,
-        "filtered_knn": q_filtered_knn,
-        "knn_bruteforce": q_knn_bruteforce,
-        "cosine_neardup": q_cosine_neardup,
-        "minhash_pairs": q_minhash_pairs,
-        "simhash_pairs": q_simhash_pairs,
-        "jaccard_pairs": q_jaccard_pairs,
-        "neardup_dedup": q_neardup_dedup,
-        "lsh_ann": q_lsh_ann,
-        "ivf_ann": q_ivf_ann,
-        "cosine_neardup_lsh": q_cosine_neardup_lsh,
-        "chunk_documents": q_chunk_documents,
-        "chunk_documents_words": q_chunk_documents_words,
-        "doc_metadata": q_doc_metadata,
-        "media_features": q_media_features,
-        "extract_pages": q_extract_pages,
-        "rolling_fingerprint": q_rolling_fingerprint,
-        "json_repair": q_json_repair,
-        "inverted_index": q_inverted_index,
-        "bm25_topk": q_bm25_topk,
-        "boolean_search": q_boolean_search,
-        "rrf_hybrid": q_rrf_hybrid,
-        "latest_event_per_user": q_latest_event_per_user,
-        "duplicate_ngrams": q_duplicate_ngrams,
-        "incremental_dedup": q_incremental_dedup,
-        "mixture_sample": q_mixture_sample,
-        "bigram_pmi": q_bigram_pmi,
-        "funnel": q_funnel,
-        "weighted_sample": q_weighted_sample,
-        "char_entropy": q_char_entropy,
-        "events_rollup": q_events_rollup,
-        "curation": q_curation,
-    }
+    """Registry in verification-priority order — a driver that checks a
+    PREFIX of this dict hits the least-recently-verified entries first:
+    (1) queries never driver-checked through round 3, (2) new round-4
+    entries (index-served BM25, broadcast/join dup-mark twins,
+    distributed near-dup twins), (3) entries last driver-checked in
+    round 2, (4) the round-3-green set."""
+    names = [
+        # (1) never driver-checked before round 4
+        "bm25_topk", "rrf_hybrid", "boolean_search", "inverted_index",
+        "incremental_dedup", "duplicate_ngrams", "latest_event_per_user",
+        "percent_rank", "knn_multi", "value_outliers", "mixture_sample",
+        "weighted_sample", "bigram_pmi", "funnel", "char_entropy",
+        "events_rollup", "curation", "hll_users_by_type", "json_repair",
+        # (2) new round-4 entries (incl. newly-SQL-checkable r3 entries)
+        "bm25_from_index", "dedup_mark_join", "dedup_mark_broadcast",
+        "minhash_pairs_dist", "simhash_pairs_dist", "neardup_dedup_dist",
+        "semantic_dedup_dist", "contamination", "pack_documents",
+        "cms_event_counts",
+        # (3) last driver-checked in round 2
+        "dedup_exact", "fingerprint", "token_count", "lang_id", "quality",
+        "doc_type", "completeness", "filtered_knn", "knn_bruteforce",
+        "cosine_neardup", "minhash_pairs", "simhash_pairs",
+        "jaccard_pairs", "neardup_dedup", "lsh_ann", "ivf_ann",
+        "cosine_neardup_lsh", "chunk_documents", "chunk_documents_words",
+        "doc_metadata", "media_features", "extract_pages",
+        "rolling_fingerprint",
+        # (4) driver-green in round 3
+        "agg_rollup", "filter_project", "topk_orders", "topk_per_group",
+        "broadcast_join_agg", "hash_join_agg", "events_sessionize",
+        "distinct_event_types", "status_counts", "events_by_user",
+        "events_hourly", "asof_join", "range_join_bands",
+        "rolling_user_value", "top_tokens", "nchars_quantiles",
+        "events_window", "value_quantiles_by_type", "anti_join_customers",
+        "stratified_sample", "profile_orders", "value_histogram",
+        "events_pivot", "customer_activity", "gopher_repetition",
+        "c4_quality", "pii_redact", "train_split", "orders_enriched",
+        "unigram_nll", "boilerplate_scrub", "shuffle_rank",
+        "hll_distinct_users", "tdigest_value_quantiles", "semantic_dedup",
+        "kmeans_clusters", "pq_ann", "stats_by_flag", "events_hopping",
+        "distinct_users_by_type", "snapshot_diff", "props_rollup",
+        "train_shards", "bpe_tokens", "adaptive_filter", "model_score",
+        "ewma_user_value",
+    ]
+    g = globals()
+    return {n: g[f"q_{n}"] for n in names}
 
 
 def oracle_sql() -> Dict[str, str]:
@@ -2958,10 +3132,19 @@ def oracle_sql() -> Dict[str, str]:
         "unigram_nll": SQL_UNIGRAM_NLL,
         "boilerplate_scrub": SQL_BOILERPLATE_SCRUB,
         "shuffle_rank": SQL_SHUFFLE_RANK,
-        # pack_documents: greedy reset-scan not SQL-expressible -> rows-only
-        # contamination: shingle hashing not SQL-expressible -> rows-only
+        "pack_documents": SQL_PACK_DOCUMENTS,
+        "contamination": SQL_CONTAMINATION,
+        "cms_event_counts": SQL_CMS_EVENT_COUNTS,
         "inverted_index": SQL_INVERTED_INDEX,
         "bm25_topk": SQL_BM25_TOPK,
+        "bm25_from_index": SQL_BM25_TOPK,
+        "dedup_mark_join": SQL_DEDUP_MARK,
+        "dedup_mark_broadcast": SQL_DEDUP_MARK,
+        "minhash_pairs_dist": SQL_MINHASH_PAIRS,
+        "simhash_pairs_dist": SQL_SIMHASH_PAIRS,
+        "neardup_dedup_dist": SQL_NEARDUP_DEDUP,
+        # semantic_dedup_dist: iterative k-means, rows-only like
+        # semantic_dedup (distributed/driver parity in test_semdedup.py)
         "boolean_search": SQL_BOOLEAN_SEARCH,
         "rrf_hybrid": SQL_RRF_HYBRID,
         "latest_event_per_user": SQL_LATEST_EVENT_PER_USER,

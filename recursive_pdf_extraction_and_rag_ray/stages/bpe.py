@@ -61,8 +61,20 @@ def bpe_wordcounts(ds: "ray.data.Dataset", *, text_col: str = "text",
     counts = ds.select_columns([text_col]) \
         .map_batches(partial, batch_format="pandas") \
         .groupby("word").aggregate(Sum("n", alias_name="n"))
-    df = counts.to_pandas()
-    df["n"] = df["n"].astype("int64")
+
+    # distributed top-max_words cut: after the groupby-sum the totals are
+    # FINAL and each word lives in exactly one output block, so a
+    # block-local top-max_words by (n desc, word asc) provably contains
+    # the global top-max_words. Only <= blocks x max_words rows ever
+    # reach the driver — vocabulary-sized, never the corpus-distinct-word
+    # table (at web scale raw [a-z']+ vocabularies run 1e8-1e9 rows).
+    def block_top(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["n"] = df["n"].astype("int64")
+        return df.sort_values(["n", "word"], ascending=[False, True],
+                              kind="mergesort").head(max_words)
+
+    df = counts.map_batches(block_top, batch_format="pandas").to_pandas()
     df = df.sort_values(["n", "word"], ascending=[False, True],
                         kind="mergesort").head(max_words)
     return df.reset_index(drop=True)

@@ -123,7 +123,20 @@ def mark_duplicates_join(docs: "ray.data.Dataset",
     dup-saturated-corpus path where the winner map is too big to ray.put:
     left-outer join on the 16-byte key, then a vectorized Arrow kernel
     derives ``duplicate_of`` ('' for non-dups and for the winning row
-    itself). Output rows/columns identical to the broadcast path."""
+    itself). Output rows/columns identical to the broadcast path.
+
+    The winner table is materialized first (slim by construction: dup
+    GROUPS only) — both to avoid re-executing its lineage and because a
+    fully-empty right side (zero duplicates) gives the hash join
+    schema-less partitions (Arrow 'no match for key field' error); the
+    empty case short-circuits to a constant '' column."""
+    winners = winners.materialize()
+    if winners.count() == 0:
+        return docs.map_batches(
+            lambda t: t.append_column(
+                "duplicate_of",
+                pa.array([""] * t.num_rows, pa.string())),
+            batch_format="pyarrow")
     joined = docs.join(winners, join_type="left_outer",
                        num_partitions=num_partitions, on=("text_sha256",))
 
@@ -147,15 +160,20 @@ class MarkDuplicatesFromBroadcast:
         self.winners = _ray.get(winners_ref)
 
     def __call__(self, t: pa.Table) -> pa.Table:
-        import pandas as pd
-
-        # vectorized probe (Series.map) — the broadcast is read once per
-        # actor, and the per-batch lookup must not be a per-row Python
-        # loop either (at 1e9 rows the loop IS the stage)
-        w = pd.Series(t.column("text_sha256").to_pylist()).map(self.winners)
-        u = pd.Series(t.column("url").to_pylist())
-        dup = w.where(w.notna() & (w != u), "").to_numpy()
-        return t.append_column("duplicate_of", pa.array(dup, pa.string()))
+        # Arrow-native hash probe: index_in against the winner key array
+        # is one vectorized hash lookup per batch, no Python-object hop
+        # (to_pylist) and no pandas conversion — the batch stays zero-copy
+        # Arrow end to end (at 1e9 rows the object conversion IS the stage).
+        if not hasattr(self, "_keys"):
+            self._keys = pa.array(list(self.winners.keys()), pa.string())
+            self._vals = pa.array(list(self.winners.values()), pa.string())
+        idx = pc.index_in(t.column("text_sha256"), value_set=self._keys)
+        w = pc.take(self._vals, idx)  # null where key not in winner map
+        keep = pc.or_kleene(pc.is_null(w), pc.equal(w, t.column("url")))
+        dup = pc.if_else(pc.fill_null(keep, True),
+                         pa.scalar("", pa.string()), w)
+        return t.append_column("duplicate_of",
+                               pc.cast(dup, pa.string()))
 
 
 # --- bloom-filtered incremental dedup ----------------------------------------
@@ -167,20 +185,25 @@ class MarkDuplicatesFromBroadcast:
 # sliver of the new data — pay the exact anti-join, so the result is exact
 # (bloom false positives are re-verified, never trusted).
 
-BLOOM_BITS = 1 << 23       # 1 MiB bitmap: <1% fp at ~1e6 entries, k=4
+BLOOM_BITS = 1 << 23       # 1 MiB bitmap: ~2.1% fp at 1e6 entries, k=4
 BLOOM_HASHES = 4
 
 
 def _bloom_positions(fp_hex, bits: int, k: int):
-    """k bit positions per md5-hex fingerprint, derived from disjoint
-    16-bit-shifted windows of the integer md5 — deterministic across
-    processes (no PYTHONHASHSEED dependence)."""
+    """k bit positions per md5-hex fingerprint via classic double hashing
+    pos_j = (h1 + j*h2) mod bits, with h1/h2 the two independent 64-bit
+    halves of the md5 (h2 forced odd so every probe stride is co-prime
+    with the power-of-two ``bits`` and covers the whole bitmap) —
+    deterministic across processes (no PYTHONHASHSEED dependence).
+    fp ~= (1 - e^(-k*n/bits))^k: ~2.1% at n=1e6 / bits=2^23 / k=4."""
     import numpy as np
-    vals = np.asarray([int(f[:16], 16) for f in fp_hex], dtype=np.uint64)
-    pos = np.empty((len(vals), k), dtype=np.int64)
+    h1 = np.asarray([int(f[:16], 16) for f in fp_hex], dtype=np.uint64)
+    h2 = np.asarray([int(f[16:32], 16) | 1 for f in fp_hex],
+                    dtype=np.uint64)
+    pos = np.empty((len(h1), k), dtype=np.int64)
     for j in range(k):
-        pos[:, j] = ((vals >> np.uint64(16 * j)) % np.uint64(bits)).astype(
-            np.int64)
+        pos[:, j] = ((h1 + np.uint64(j) * h2)
+                     % np.uint64(bits)).astype(np.int64)
     return pos
 
 
@@ -190,48 +213,109 @@ def bloom_from_docs(docs: "ray.data.Dataset", *, bits: int = BLOOM_BITS,
     SET BIT POSITIONS (slim, <= rows x k int64s) rather than a full
     bitmap; the driver unions positions into one fixed-size bitmap —
     a mergeable-sketch combine, bounded by ``bits`` not corpus size."""
-    import numpy as np
     import pandas as pd
 
     from .textstats import fingerprint_batch
 
+    fps = docs.map_batches(
+        lambda df: pd.DataFrame({"fp": fingerprint_batch(df)["fp"]}),
+        batch_format="pandas")
+    return bloom_from_fps(fps, bits=bits, k=k)
+
+
+def bloom_from_fps(fps: "ray.data.Dataset", *, bits: int = BLOOM_BITS,
+                   k: int = BLOOM_HASHES) -> "np.ndarray":
+    """Bloom bitmap from an already-fingerprinted (fp,) dataset — the
+    persisted-state build path, where the corpus text is never touched."""
+    import numpy as np
+    import pandas as pd
+
     def partial(df: pd.DataFrame) -> pd.DataFrame:
-        fp = fingerprint_batch(df)["fp"]
-        pos = _bloom_positions(fp.to_numpy(), bits, k).ravel()
+        pos = _bloom_positions(df["fp"].to_numpy(), bits, k).ravel()
         return pd.DataFrame({"pos": np.unique(pos)})
 
     bitmap = np.zeros(bits, dtype=bool)
-    for b in docs.map_batches(partial, batch_format="pandas") \
+    for b in fps.map_batches(partial, batch_format="pandas") \
             .iter_batches(batch_format="pandas", batch_size=65536):
         bitmap[b["pos"].to_numpy()] = True
     return bitmap
 
 
+def build_incremental_state(old_docs: "ray.data.Dataset", state_dir: str, *,
+                            bits: int = BLOOM_BITS,
+                            k: int = BLOOM_HASHES) -> str:
+    """One-time (per corpus version) build of the incremental-dedup
+    state — the maintained table that makes the OLD side zero-scan per
+    incremental run:
+
+    - ``<state_dir>/fp/``      partitioned parquet of old fingerprints
+      (32-hex md5 per doc; slim, ~40 B/doc — resumable, hive-style)
+    - ``<state_dir>/bloom.npz`` packed bloom bitmap + (bits, k, n_old)
+    - ``<state_dir>/_SUCCESS``  commit marker (readers must check it)
+
+    The old corpus TEXT is scanned exactly once, here; the bloom is then
+    derived from the persisted slim fp table, and every later
+    ``incremental_dedup_from_state`` run reads only the new side plus
+    this state. Rebuild (or append a delta partition) when the old
+    corpus version changes."""
+    import os
+
+    import numpy as np
+    import pandas as pd
+
+    from .textstats import fingerprint_batch
+
+    fp_dir = os.path.join(state_dir, "fp")
+    old_docs.map_batches(
+        lambda df: pd.DataFrame({"fp": fingerprint_batch(df)["fp"]}),
+        batch_format="pandas").write_parquet(fp_dir)
+    fps = ray.data.read_parquet(fp_dir)
+    n_old = fps.count()
+    bitmap = bloom_from_fps(fps, bits=bits, k=k)
+    np.savez(os.path.join(state_dir, "bloom.npz"),
+             bitmap=np.packbits(bitmap), bits=np.int64(bits),
+             k=np.int64(k), n_old=np.int64(n_old))
+    with open(os.path.join(state_dir, "_SUCCESS"), "w") as f:
+        f.write("ok\n")
+    return state_dir
+
+
+def load_incremental_state(state_dir: str):
+    """(bitmap bool ndarray, bits, k, n_old, fp_dataset) from a committed
+    ``build_incremental_state`` directory."""
+    import os
+
+    import numpy as np
+
+    if not os.path.exists(os.path.join(state_dir, "_SUCCESS")):
+        raise FileNotFoundError(
+            f"incremental-dedup state not committed: {state_dir}")
+    z = np.load(os.path.join(state_dir, "bloom.npz"))
+    bits, k = int(z["bits"]), int(z["k"])
+    bitmap = np.unpackbits(z["bitmap"]).astype(bool)[:bits]
+    fps = ray.data.read_parquet(os.path.join(state_dir, "fp"))
+    return bitmap, bits, k, int(z["n_old"]), fps
+
+
 BCAST_OLD_KEYS_MAX = 2_000_000
 
 
-def incremental_dedup_bloom(new_docs: "ray.data.Dataset",
-                            old_docs: "ray.data.Dataset", *,
-                            id_col: str = "doc_id",
-                            bits: int = BLOOM_BITS,
-                            k: int = BLOOM_HASHES,
-                            broadcast_old_keys=None) -> "ray.data.Dataset":
-    """ids of ``new_docs`` whose text does NOT already exist in
-    ``old_docs`` (exact, not probabilistic): bloom-negative rows pass
-    locally with zero shuffle; bloom-positive candidates are verified
-    by an exact anti-join on the fingerprint. The verify leg picks its
-    shape by old-side size (``broadcast_old_keys=None`` decides from a
-    count): small old corpus -> broadcast the old key set and probe
-    candidates locally; corpus-scale old -> hash-partitioned
-    distributed anti-join."""
-    import numpy as np
+def _incremental_dedup_core(new_docs: "ray.data.Dataset",
+                            old_fp: "ray.data.Dataset",
+                            bitmap, *, id_col: str, bits: int, k: int,
+                            n_old: int,
+                            broadcast_old_keys) -> "ray.data.Dataset":
+    """Shared verify skeleton: bloom-probe every new row (one
+    fingerprint pass), pass bloom-negatives with zero shuffle, and
+    anti-join only the bloom-positive candidates against the old
+    fingerprint table — exact output, bloom never trusted."""
     import pandas as pd
     import ray
 
     from . import joins
     from .textstats import fingerprint_batch
 
-    bloom_ref = ray.put(bloom_from_docs(old_docs, bits=bits, k=k))
+    bloom_ref = ray.put(bitmap)
 
     class BloomProbe:
         """Actor-pool probe: bitmap fetched once per actor, not per
@@ -260,10 +344,8 @@ def incremental_dedup_bloom(new_docs: "ray.data.Dataset",
         lambda df: df[~df["cand"]][[id_col]], batch_format="pandas")
     candidates = probed.map_batches(
         lambda df: df[df["cand"]][[id_col, "fp"]], batch_format="pandas")
-    old_fp = old_docs.map_batches(
-        fingerprint_batch, batch_format="pandas").select_columns(["fp"])
     if broadcast_old_keys is None:
-        broadcast_old_keys = old_docs.count() <= BCAST_OLD_KEYS_MAX
+        broadcast_old_keys = n_old <= BCAST_OLD_KEYS_MAX
     if broadcast_old_keys:
         verified = joins.anti_join(candidates, old_fp, on="fp",
                                    broadcast=True).select_columns([id_col])
@@ -275,6 +357,57 @@ def incremental_dedup_bloom(new_docs: "ray.data.Dataset",
                                    coarse=64, pre_blocks=16) \
             .select_columns([id_col])
     return sure_new.union(verified)
+
+
+def incremental_dedup_bloom(new_docs: "ray.data.Dataset",
+                            old_docs: "ray.data.Dataset", *,
+                            id_col: str = "doc_id",
+                            bits: int = BLOOM_BITS,
+                            k: int = BLOOM_HASHES,
+                            broadcast_old_keys=None) -> "ray.data.Dataset":
+    """ids of ``new_docs`` whose text does NOT already exist in
+    ``old_docs`` (exact, not probabilistic): bloom-negative rows pass
+    locally with zero shuffle; bloom-positive candidates are verified
+    by an exact anti-join on the fingerprint. The verify leg picks its
+    shape by old-side size (``broadcast_old_keys=None`` decides from a
+    count): small old corpus -> broadcast the old key set and probe
+    candidates locally; corpus-scale old -> hash-partitioned
+    distributed anti-join.
+
+    One-shot form: the old corpus TEXT is fingerprinted here, once (the
+    fp table feeds both the bloom build and the verify leg). For
+    repeated incremental runs, ``build_incremental_state`` +
+    ``incremental_dedup_from_state`` is the maintained-table shape —
+    old side touched ZERO times per run."""
+    import pandas as pd
+
+    from .textstats import fingerprint_batch
+
+    # fingerprint the old side ONCE; the slim (fp,) table is materialized
+    # and reused by both the bloom build and the candidate anti-join —
+    # the old text column is read exactly one time.
+    old_fp = old_docs.map_batches(
+        lambda df: pd.DataFrame({"fp": fingerprint_batch(df)["fp"]}),
+        batch_format="pandas").materialize()
+    bitmap = bloom_from_fps(old_fp, bits=bits, k=k)
+    return _incremental_dedup_core(
+        new_docs, old_fp, bitmap, id_col=id_col, bits=bits, k=k,
+        n_old=old_fp.count(), broadcast_old_keys=broadcast_old_keys)
+
+
+def incremental_dedup_from_state(new_docs: "ray.data.Dataset",
+                                 state_dir: str, *,
+                                 id_col: str = "doc_id",
+                                 broadcast_old_keys=None,
+                                 ) -> "ray.data.Dataset":
+    """Incremental dedup against a PERSISTED old-side state
+    (``build_incremental_state``): per run this reads only the new-side
+    text plus the committed bloom bitmap and slim fp parquet — the old
+    corpus itself is scanned zero times."""
+    bitmap, bits, k, n_old, old_fp = load_incremental_state(state_dir)
+    return _incremental_dedup_core(
+        new_docs, old_fp, bitmap, id_col=id_col, bits=bits, k=k,
+        n_old=n_old, broadcast_old_keys=broadcast_old_keys)
 
 
 def snapshot_diff(old_docs: "ray.data.Dataset",

@@ -607,10 +607,17 @@ def components_losers_ds(pairs: "ray.data.Dataset", *,
 
     edges = pairs.select_columns(["doc_a", "doc_b"]).map_batches(
         both_dirs, batch_format="pandas").materialize()
-    if edges.count() == 0:
+    n_edges = edges.count()
+    if n_edges == 0:
         return ray.data.from_pandas(pd.DataFrame({
             "doc_id": pd.Series([], dtype="int64"),
             "winner": pd.Series([], dtype="int64")}))
+    # every round pays per-partition shuffle-actor spin-up, so size the
+    # join width to the (materialized, already-counted) edge list: one
+    # partition per 64k directed edges, never more than the cluster
+    # default — a tiny pair graph converges in seconds instead of paying
+    # dozens of idle aggregator actors per round
+    np_parts = max(2, min(np_parts, (n_edges + 65535) // 65536 + 1))
 
     def clip_label(df: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame({

@@ -46,21 +46,33 @@ INDEX_REDUCE_PARTITIONS = 64
 INDEX_SHARD_SIZE = 1024
 
 
-def _token_doc_tf(df: pd.DataFrame, *, id_col: str,
-                  text_col: str) -> pd.DataFrame:
-    """(token, doc_id, tf) rows for one batch — final, not partial,
+def _token_doc_tf(df: pd.DataFrame, *, id_col: str, text_col: str,
+                  include_dl: bool = False) -> pd.DataFrame:
+    """(token, doc_id, tf[, dl]) rows for one batch — final, not partial,
     because each document lives in exactly one batch row. Vectorized:
-    one split + one explode + one groupby, no per-row Python."""
+    one split + one explode + one groupby, no per-row Python. ``dl`` is
+    the doc's total token count (constant per doc), carried when the
+    index must be BM25-servable without a doclen join."""
     toks = df[text_col].fillna("").str.lower().str.split()
     ids = df[id_col].to_numpy()
     ex = toks.explode()
     ex = ex[ex.notna()]
     if not len(ex):
-        return pd.DataFrame({"token": pd.Series([], dtype="object"),
-                             id_col: pd.Series([], dtype="int64"),
-                             "tf": pd.Series([], dtype="int64")})
+        cols = {"token": pd.Series([], dtype="object"),
+                id_col: pd.Series([], dtype="int64"),
+                "tf": pd.Series([], dtype="int64")}
+        if include_dl:
+            cols["dl"] = pd.Series([], dtype="int64")
+        return pd.DataFrame(cols)
     out = pd.DataFrame({"token": ex.to_numpy(),
                         id_col: ids[ex.index.to_numpy()]})
+    if include_dl:
+        dl = toks.str.len().to_numpy()
+        out["dl"] = dl[ex.index.to_numpy()]
+        agg = out.groupby(["token", id_col], as_index=False, sort=False) \
+            .agg(tf=(id_col, "size"), dl=("dl", "first"))
+        return agg.astype({"tf": "int64", "dl": "int64"})[
+            ["token", id_col, "tf", "dl"]]
     return out.groupby(["token", id_col], as_index=False, sort=False) \
         .size().rename(columns={"size": "tf"}).astype({"tf": "int64"})
 
@@ -69,12 +81,18 @@ def inverted_index(docs: "ray.data.Dataset", *, id_col: str = "doc_id",
                    text_col: str = "text",
                    shard_size: int = INDEX_SHARD_SIZE,
                    reduce_partitions: int = INDEX_REDUCE_PARTITIONS,
+                   with_doclen: bool = False,
                    ) -> "ray.data.Dataset":
     """Distributed inverted index: one row per (token, posting shard)
     with ``df`` (total docs containing the token), ``shard`` (0-based,
     by ascending doc_id) and ``postings`` ('id:tf,id:tf,...' ascending
     by doc_id). Exactly one all-to-all exchange (the coarse token-hash
     shuffle); everything else is embarrassingly parallel.
+
+    ``with_doclen=True`` emits 'id:tf:dl' entries instead (dl = the
+    doc's total token count): the index then carries everything BM25
+    needs per posting, so ``bm25_topk_from_index`` can score queries
+    with ZERO corpus scans and no doclen join.
 
     Partitioning assumption: the hottest token's (token, doc_id, tf)
     rows fit one reduce task — sharding bounds every OUTPUT row at
@@ -84,7 +102,8 @@ def inverted_index(docs: "ray.data.Dataset", *, id_col: str = "doc_id",
     shuffle — their posting lists are retrieval-useless anyway."""
 
     def explode(df: pd.DataFrame) -> pd.DataFrame:
-        out = _token_doc_tf(df, id_col=id_col, text_col=text_col)
+        out = _token_doc_tf(df, id_col=id_col, text_col=text_col,
+                            include_dl=with_doclen)
         h = pd.util.hash_array(out["token"].to_numpy())
         out["_pk"] = (h % reduce_partitions).astype("int64")
         return out
@@ -93,11 +112,14 @@ def inverted_index(docs: "ray.data.Dataset", *, id_col: str = "doc_id",
         g = g.sort_values(["token", id_col], kind="mergesort")
         # shard index within each token run, vectorized
         rn = g.groupby("token", sort=False).cumcount().to_numpy()
+        pair = g[id_col].astype(str) + ":" + g["tf"].astype(str)
+        if with_doclen:
+            pair = pair + ":" + g["dl"].astype(str)
         g = g.assign(
             shard=(rn // shard_size).astype("int64"),
             _df=g.groupby("token", sort=False)[id_col]
                  .transform("size").astype("int64"),
-            _pair=g[id_col].astype(str) + ":" + g["tf"].astype(str))
+            _pair=pair)
         out = g.groupby(["token", "shard"], as_index=False, sort=False) \
             .agg(df=("_df", "first"), postings=("_pair", ",".join))
         return out[["token", "shard", "df", "postings"]]
@@ -171,17 +193,63 @@ def bm25_topk(docs: "ray.data.Dataset", terms: Sequence[str], *,
     idf = ln((N - df + 0.5)/(df + 0.5) + 1) (Robertson/Lucene form).
     Scores are float64 and rounded to 6 dp for rank stability (ties
     broken by ascending id) — the same parity discipline as the cosine
-    operators. Two streaming passes: stats (tiny partials), then score
-    with per-batch partial top-k."""
+    operators.
+
+    ONE corpus scan (the tokenize pass is the dominant cost, so it must
+    not run twice): each batch tokenizes once and emits a SLIM frame —
+    one stats partial row (n_docs, sum_dl, df per term) plus one
+    candidate row (id, dl, per-term tf) per doc matching >= 1 term.
+    The materialized slim table is then scored with the global
+    idf/avgdl: candidates only, never the corpus, and summation stays
+    in fixed term order (deterministic floats). Pass ``stats`` (from
+    ``_corpus_stats``) to pin precomputed globals instead. For a
+    REPEATED-query serving path score from a persisted index via
+    ``bm25_topk_from_index`` — zero corpus scans per query."""
     terms = list(terms)
-    st = stats or _corpus_stats(docs, terms, text_col=text_col)
-    n, avgdl = st["n_docs"], st["avgdl"]
-    idf = np.asarray([math.log((n - st["df"][t] + 0.5)
-                               / (st["df"][t] + 0.5) + 1.0)
+    m = len(terms)
+    tf_cols = [f"_tf{j}" for j in range(m)]
+
+    def slim(df: pd.DataFrame) -> pd.DataFrame:
+        tf, dl = _term_tf_matrix(df, terms, text_col)
+        hit = (tf > 0.0).any(axis=1)
+        out = pd.DataFrame({
+            id_col: np.concatenate(
+                [[np.int64(-1)], df[id_col].to_numpy()[hit]]),
+            "_dl": np.concatenate([[dl.sum()], dl[hit]]),
+            "_n": np.concatenate(
+                [[np.float64(len(df))], np.zeros(int(hit.sum()))]),
+        })
+        for j in range(m):
+            # stats row carries the term's df; candidate rows its tf
+            out[tf_cols[j]] = np.concatenate(
+                [[np.float64((tf[:, j] > 0.0).sum())], tf[hit, j]])
+        return out
+
+    slim_ds = docs.select_columns([id_col, text_col]).map_batches(
+        slim, batch_format="pandas").materialize()
+
+    if stats is not None:
+        n, avgdl = stats["n_docs"], stats["avgdl"]
+        df_map = stats["df"]
+    else:
+        st = slim_ds.map_batches(
+            lambda df: df[df[id_col] == -1], batch_format="pandas") \
+            .to_pandas()
+        n = int(st["_n"].sum())
+        avgdl = float(st["_dl"].sum()) / n if n else 0.0
+        df_map = {t: int(st[tf_cols[j]].sum())
+                  for j, t in enumerate(terms)}
+    idf = np.asarray([math.log((n - df_map[t] + 0.5)
+                               / (df_map[t] + 0.5) + 1.0)
                       for t in terms], dtype="float64")
 
     def score(df: pd.DataFrame) -> pd.DataFrame:
-        tf, dl = _term_tf_matrix(df, terms, text_col)
+        df = df[df[id_col] != -1]
+        if not len(df):
+            return pd.DataFrame({id_col: pd.Series([], dtype="int64"),
+                                 "score": pd.Series([], dtype="float64")})
+        tf = df[tf_cols].to_numpy(dtype="float64")
+        dl = df["_dl"].to_numpy(dtype="float64")
         denom = tf + k1 * (1.0 - b + b * dl[:, None] / avgdl)
         with np.errstate(invalid="ignore", divide="ignore"):
             s = np.where(tf > 0.0, idf[None, :] * tf * (k1 + 1.0) / denom,
@@ -194,8 +262,98 @@ def bm25_topk(docs: "ray.data.Dataset", terms: Sequence[str], *,
                                ascending=[False, True],
                                kind="mergesort").head(k)
 
-    part = docs.select_columns([id_col, text_col]).map_batches(
-        score, batch_format="pandas")
+    part = slim_ds.map_batches(score, batch_format="pandas")
+    top = part.sort(["score", id_col], descending=[True, False]).limit(k)
+    return top.to_pandas().astype({id_col: "int64", "score": "float64"})
+
+
+def index_sum_dl(index: "ray.data.Dataset") -> int:
+    """Total corpus token count from a ``with_doclen=True`` index: each
+    posting entry contributes its tf, so sum(tf over all entries) =
+    sum(doclen over all docs). One slim index pass, tiny partials."""
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        ex = df["postings"].str.split(",").explode()
+        tf = ex.str.split(":").str[1].astype("int64")
+        return pd.DataFrame({"s": [np.int64(tf.sum())]})
+
+    tot = 0
+    for b in index.select_columns(["postings"]) \
+            .map_batches(partial, batch_format="pandas") \
+            .iter_batches(batch_format="pandas", batch_size=65536):
+        tot += int(b["s"].sum())
+    return tot
+
+
+def bm25_topk_from_index(index: "ray.data.Dataset",
+                         terms: Sequence[str], *, n_docs: int,
+                         sum_dl: int | None = None, k: int = 10,
+                         k1: float = 1.2, b: float = 0.75,
+                         id_col: str = "doc_id",
+                         reduce_partitions: int = 16) -> pd.DataFrame:
+    """BM25 top-k scored ENTIRELY from a persisted ``with_doclen=True``
+    inverted index — the serving path: the corpus is scanned zero times
+    per query. df comes free from the shard rows, dl from the posting
+    entries, ``n_docs`` from corpus metadata (a count the index build
+    persists) and ``sum_dl`` from the build-time stats row (derived here
+    with one slim index pass when not supplied).
+
+    Shape: filter shards to the query terms (slim scan of the index,
+    which is far smaller than the corpus), parse postings vectorized,
+    emit (id, term-ordinal, contribution) rows, then ONE coarse
+    hash-partitioned reduce sums each doc's contributions in fixed term
+    order (deterministic floats, same summation order as the scan-based
+    scorer) with per-partition partial top-k before the global cut."""
+    terms = list(terms)
+    if sum_dl is None:
+        sum_dl = index_sum_dl(index)
+    avgdl = float(sum_dl) / n_docs if n_docs else 0.0
+    term_ord = {t: j for j, t in enumerate(terms)}
+
+    def contrib(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df["token"].isin(term_ord)]
+        empty = pd.DataFrame({
+            id_col: pd.Series([], dtype="int64"),
+            "_j": pd.Series([], dtype="int64"),
+            "_s": pd.Series([], dtype="float64"),
+            "_pk": pd.Series([], dtype="int64")})
+        if not len(df):
+            return empty
+        dfreq = df["df"].to_numpy(dtype="float64")
+        idf = np.log((n_docs - dfreq + 0.5) / (dfreq + 0.5) + 1.0)
+        t = df.reset_index(drop=True)
+        ex = t["postings"].str.split(",").explode()
+        if not len(ex):
+            return empty
+        sp = ex.str.split(":", expand=True)
+        ids = sp[0].astype("int64").to_numpy()
+        tf = sp[1].astype("float64").to_numpy()
+        dl = sp[2].astype("float64").to_numpy()
+        src = ex.index.to_numpy()
+        idf_e = idf[src]
+        j = t["token"].map(term_ord).to_numpy()[src]
+        s = idf_e * tf * (k1 + 1.0) \
+            / (tf + k1 * (1.0 - b + b * dl / avgdl))
+        return pd.DataFrame({
+            id_col: ids, "_j": j.astype("int64"), "_s": s,
+            "_pk": ((ids.astype("uint64") * np.uint64(2654435761))
+                    % np.uint64(reduce_partitions)).astype("int64")})
+
+    def reduce(g: pd.DataFrame) -> pd.DataFrame:
+        # ascending term-ordinal within each doc => the float summation
+        # order matches the scan scorer's fixed term order exactly
+        g = g.sort_values([id_col, "_j"], kind="mergesort")
+        tot = g.groupby(id_col, sort=False)["_s"].sum()
+        out = pd.DataFrame({id_col: tot.index.to_numpy().astype("int64"),
+                            "score": np.round(tot.to_numpy(), 6)})
+        out = out[out["score"] > 0.0]
+        return out.sort_values(["score", id_col],
+                               ascending=[False, True],
+                               kind="mergesort").head(k)
+
+    rows = index.map_batches(contrib, batch_format="pandas")
+    part = rows.groupby("_pk").map_groups(
+        lambda g: reduce(g.drop(columns=["_pk"])), batch_format="pandas")
     top = part.sort(["score", id_col], descending=[True, False]).limit(k)
     return top.to_pandas().astype({id_col: "int64", "score": "float64"})
 

@@ -242,7 +242,15 @@ def _explode_tiles(df: pd.DataFrame, n_tiles_ref, id_col: str,
     meta, t_max = ray.get(n_tiles_ref)
     outs = []
     for block, g in df.groupby(block_col, sort=False):
-        n, base = meta.get(block, (1, 0))
+        if block not in meta:
+            # every block MUST come from the count pre-pass: a silent
+            # (1, 0) fallback would give all unknown blocks _gk=0 and
+            # emit cross-block pairs the (block, ti, tj) key never could
+            raise KeyError(
+                f"block {block!r} missing from tile meta — upstream "
+                "lineage changed between the count pass and the explode "
+                "pass (non-deterministic input?)")
+        n, base = meta[block]
         b = _tile_sub_block(g[id_col].to_numpy(), n)
         for b2 in range(n):
             part = g.copy()

@@ -91,8 +91,14 @@ def grouped_moments(ds: "ray.data.Dataset", *, key_col: str, x_col: str,
         batch_format="pandas")
 
     def merge(group: pd.DataFrame) -> pd.DataFrame:
-        # canonical merge order => run-invariant float results
-        group = group.sort_values(["n", "mean_x", "m2_x"],
+        # canonical merge order => run-invariant float results; the key
+        # must cover EVERY partial column (y side included when present):
+        # two partials tying on the x stats but differing in
+        # (mean_y, m2_y, c_xy) would otherwise merge in shuffle order
+        sort_key = ["n", "mean_x", "m2_x"]
+        if with_y:
+            sort_key += ["mean_y", "m2_y", "c_xy"]
+        group = group.sort_values(sort_key,
                                   kind="mergesort").reset_index(drop=True)
         acc = group.iloc[0].to_dict()
         for i in range(1, len(group)):
