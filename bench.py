@@ -58,6 +58,14 @@ BENCH_QUERIES = [
     "snapshot_diff", "props_rollup", "train_shards", "bpe_tokens",
     "adaptive_filter", "model_score", "ewma_user_value",
     "hll_users_by_type", "value_outliers", "knn_multi", "percent_rank",
+    # round-4 additions: index-served BM25 and the dup-mark twins. The
+    # iterative distributed components twins (neardup_dedup_dist,
+    # semantic_dedup_dist) are correctness entries, not bench entries:
+    # label propagation pays per-round shuffle latency that measures Ray
+    # round-trip overhead, not operator throughput, at this corpus size.
+    "bm25_from_index", "dedup_mark_join", "dedup_mark_broadcast",
+    "minhash_pairs_dist", "simhash_pairs_dist", "boolean_search",
+    "tfidf_keywords", "threshold_sweep", "ngram_novelty",
 ]
 
 

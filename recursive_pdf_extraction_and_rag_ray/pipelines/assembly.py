@@ -97,7 +97,8 @@ def build_pipeline(config: List[Dict[str, Any]]) \
 
 def _register_builtins() -> None:
     from ..stages.chunk import chunk_docs_batch
-    from ..stages.embed import HashEmbedder, HttpEmbedder
+    from ..stages.embed import (HashEmbedder, HttpEmbedder,
+                                RandomProjectionEmbedder)
     from ..stages.extract import ExtractPages
     from ..stages import textstats
 
@@ -108,6 +109,8 @@ def _register_builtins() -> None:
                              concurrency=4))
     register_stage(StageSpec("embed.http", HttpEmbedder, batch_size=96,
                              concurrency=4))
+    register_stage(StageSpec("embed.rp", RandomProjectionEmbedder,
+                             batch_size=96, concurrency=4))
     for name in ("token_count", "lang_id", "quality_score", "fingerprint",
                  "doc_type", "completeness", "rolling_fingerprint"):
         register_stage(StageSpec(

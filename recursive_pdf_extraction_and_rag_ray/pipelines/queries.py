@@ -2212,6 +2212,142 @@ def q_bm25_from_index(sf_dir):
         idx, BM25_TERMS, n_docs=n_docs, k=10)
 
 
+MODEL_W = {"bias": -3.0, "ln_len": 0.45, "space": 2.0, "digit": -4.0}
+
+
+def q_tfidf_keywords(sf_dir):
+    """Top-3 tf-idf keywords per document
+    (stages/retrieval_text.py:tfidf_keywords): token rows final after
+    one batch pass, df computed INSIDE the token-hash partition (no
+    global vocabulary anywhere), then one doc-hash repartition for the
+    vectorized per-doc cut. score = round(tf * ln(N/df), 6), ties by
+    ascending token."""
+    from ..stages import retrieval_text
+
+    return retrieval_text.tfidf_keywords(
+        _t(sf_dir, "documents", columns=["doc_id", "text"]), top=3)
+
+
+SQL_TFIDF_KEYWORDS = r"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(list_filter(regexp_split_to_array(lower(text), '\s+'),
+                            x -> x <> '')) AS token
+  FROM documents),
+tf AS (SELECT token, doc_id, CAST(count(*) AS BIGINT) AS tf
+       FROM toks GROUP BY token, doc_id),
+dfq AS (SELECT token, count(*) AS df FROM tf GROUP BY token),
+n AS (SELECT count(*) AS n FROM documents),
+s AS (SELECT tf.doc_id, tf.token,
+             round(tf.tf * ln(CAST(n.n AS DOUBLE) / d.df), 6) AS score
+      FROM tf JOIN dfq d USING (token) CROSS JOIN n),
+r AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+                                   ORDER BY score DESC, token) AS rn
+      FROM s)
+SELECT doc_id, token, score FROM r WHERE rn <= 3
+"""
+
+
+def q_threshold_sweep(sf_dir):
+    """Filter-calibration sweep (stages/corpusfilters.py:
+    threshold_sweep): for each candidate quality cutoff, the surviving
+    doc count and char mass — computed for the WHOLE grid in one
+    streaming pass (per-batch score-vs-grid bool matrix, |grid|-row
+    partials). Scoring reuses the model_score logistic; the comparison
+    uses the RAW float64 sigmoid on both sides (1-ulp boundary risk
+    instead of rounding-tie risk)."""
+    from ..stages import corpusfilters
+
+    ds = _t(sf_dir, "documents", columns=["doc_id", "text"])
+    w = MODEL_W
+
+    def score(df: pd.DataFrame) -> pd.DataFrame:
+        text = df["text"].fillna("")
+        n = text.str.len().to_numpy(dtype=np.float64)
+        digits = text.str.count(r"[0-9]").to_numpy(dtype=np.float64)
+        spaces = text.str.count(" ").to_numpy(dtype=np.float64)
+        denom = np.where(n > 0, n, 1.0)
+        z = (w["bias"] + w["ln_len"] * np.log1p(n)
+             + w["space"] * (spaces / denom)
+             + w["digit"] * (digits / denom))
+        return pd.DataFrame({
+            "score": 1.0 / (1.0 + np.exp(-z)),
+            "n_chars": n.astype("int64")})
+
+    return corpusfilters.threshold_sweep(
+        ds.map_batches(score, batch_format="pandas"),
+        score_col="score", weight_col="n_chars")
+
+
+SQL_THRESHOLD_SWEEP = f"""
+WITH f AS (
+  SELECT doc_id,
+         CAST(length(text) AS DOUBLE) AS n,
+         CAST(length(text) - length(replace(text, ' ', ''))
+              AS DOUBLE) AS spaces,
+         CAST(length(regexp_replace(text, '[^0-9]', '', 'g'))
+              AS DOUBLE) AS digits
+  FROM documents),
+s AS (
+  SELECT doc_id,
+         1.0 / (1.0 + exp(-({MODEL_W['bias']}
+           + {MODEL_W['ln_len']} * ln(1 + n)
+           + {MODEL_W['space']} * (spaces / greatest(n, 1))
+           + {MODEL_W['digit']} * (digits / greatest(n, 1))))) AS score,
+         CAST(n AS BIGINT) AS n_chars
+  FROM f),
+grid AS (SELECT unnest([0.1, 0.2, 0.3, 0.4, 0.5,
+                        0.6, 0.7, 0.8, 0.9]) AS threshold)
+SELECT g.threshold,
+       CAST(count(*) FILTER (WHERE s.score > g.threshold)
+            AS BIGINT) AS n_keep,
+       CAST(coalesce(sum(s.n_chars)
+                     FILTER (WHERE s.score > g.threshold), 0)
+            AS BIGINT) AS w_keep
+FROM grid g CROSS JOIN s
+GROUP BY g.threshold
+"""
+
+
+def q_ngram_novelty(sf_dir):
+    """Per-document 5-gram novelty
+    (stages/corpusfilters.py:ngram_novelty): fraction of the doc's gram
+    occurrences not shared with another document — the per-doc rollup
+    of the duplicate_ngrams span inventory; same single gram-hash
+    shuffle plus one doc-hash fold."""
+    from ..stages import corpusfilters
+
+    return corpusfilters.ngram_novelty(
+        _t(sf_dir, "documents", columns=["doc_id", "text"]))
+
+
+SQL_NGRAM_NOVELTY = r"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '\s+'),
+                     x -> x <> '') AS t
+  FROM documents),
+grams AS (
+  SELECT doc_id, array_to_string(t[i:i+4], ' ') AS g
+  FROM toks, unnest(range(1, len(t) - 3)) AS u(i)
+  WHERE len(t) >= 5),
+tot AS (SELECT doc_id, count(*) AS n FROM grams GROUP BY doc_id),
+gd AS (SELECT g, count(DISTINCT doc_id) AS nd FROM grams GROUP BY g),
+sh AS (SELECT gr.doc_id, count(*) AS n_shared
+       FROM grams gr JOIN gd USING (g)
+       WHERE gd.nd >= 2 GROUP BY gr.doc_id)
+SELECT d.doc_id,
+       CAST(coalesce(t.n, 0) AS BIGINT) AS n_grams,
+       CAST(coalesce(s.n_shared, 0) AS BIGINT) AS n_shared,
+       round(1.0 - CASE WHEN coalesce(t.n, 0) = 0 THEN 0.0
+                        ELSE CAST(coalesce(s.n_shared, 0) AS DOUBLE)
+                             / t.n END, 6) AS novelty
+FROM documents d
+LEFT JOIN tot t USING (doc_id)
+LEFT JOIN sh s USING (doc_id)
+"""
+
+
 # --- distributed-twin entries -------------------------------------------------
 # The scale paths (hash-join dup marking, distributed near-dup reduces,
 # distributed components) are forced locally in
@@ -2802,9 +2938,6 @@ WHERE n_chars >= q.lo AND n_chars <= q.hi
 """
 
 
-MODEL_W = {"bias": -3.0, "ln_len": 0.45, "space": 2.0, "digit": -4.0}
-
-
 def q_model_score(sf_dir):
     """Batch model inference as a Ray stage: a fixed logistic quality
     model (engineered features -> sigmoid) scored vectorized per batch
@@ -3068,7 +3201,8 @@ def queries() -> Dict[str, Callable]:
         "bm25_from_index", "dedup_mark_join", "dedup_mark_broadcast",
         "minhash_pairs_dist", "simhash_pairs_dist", "neardup_dedup_dist",
         "semantic_dedup_dist", "contamination", "pack_documents",
-        "cms_event_counts",
+        "cms_event_counts", "tfidf_keywords", "threshold_sweep",
+        "ngram_novelty",
         # (3) last driver-checked in round 2
         "dedup_exact", "fingerprint", "token_count", "lang_id", "quality",
         "doc_type", "completeness", "filtered_knn", "knn_bruteforce",
@@ -3138,6 +3272,9 @@ def oracle_sql() -> Dict[str, str]:
         "inverted_index": SQL_INVERTED_INDEX,
         "bm25_topk": SQL_BM25_TOPK,
         "bm25_from_index": SQL_BM25_TOPK,
+        "tfidf_keywords": SQL_TFIDF_KEYWORDS,
+        "threshold_sweep": SQL_THRESHOLD_SWEEP,
+        "ngram_novelty": SQL_NGRAM_NOVELTY,
         "dedup_mark_join": SQL_DEDUP_MARK,
         "dedup_mark_broadcast": SQL_DEDUP_MARK,
         "minhash_pairs_dist": SQL_MINHASH_PAIRS,

@@ -468,6 +468,139 @@ def duplicate_ngrams(ds, *, id_col: str = "doc_id", text_col: str = "text",
         batch_format="pandas")
 
 
+def ngram_novelty(ds, *, id_col: str = "doc_id", text_col: str = "text",
+                  n: int = SPAN_NGRAM, min_docs: int = 2,
+                  gram_partitions: int = 64,
+                  doc_partitions: int = 32):
+    """Per-document novelty: the fraction of a doc's word ``n``-gram
+    occurrences NOT shared with >= ``min_docs`` - 1 other documents —
+    the per-doc aggregate of the ``duplicate_ngrams`` span inventory, a
+    standard near-duplicate / boilerplate quality signal (docs made of
+    corpus-repeated spans score ~0, fresh text ~1). Docs with fewer
+    than ``n`` words have no grams and score 1.0.
+
+    Scale shape: per-doc gram totals are batch-local (no shuffle);
+    shared-occurrence counts ride the same single coarse gram-hash
+    shuffle as duplicate_ngrams, re-emitted as slim per-doc partials;
+    one final coarse doc-hash groupby folds (total, shared) into the
+    novelty score. Nothing gram-shaped reaches the driver."""
+
+    def totals(df: pd.DataFrame) -> pd.DataFrame:
+        g = _gram_rows(df, id_col=id_col, text_col=text_col, n=n)
+        cnt = g.groupby(id_col, sort=False).size()
+        ids = df[id_col].to_numpy().astype("int64")
+        tot = np.zeros(len(df), dtype="int64")
+        if len(cnt):
+            pos = {v: i for i, v in enumerate(ids)}
+            tot[[pos[i] for i in cnt.index]] = cnt.to_numpy()
+        return pd.DataFrame({
+            id_col: ids, "_tot": tot,
+            "_sh": np.zeros(len(df), dtype="int64"),
+            "_dk": ((ids.astype("uint64") * np.uint64(2654435761))
+                    % np.uint64(doc_partitions)).astype("int64")})
+
+    def gram_partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = _gram_rows(df, id_col=id_col, text_col=text_col, n=n)
+        out = g.groupby(["gram", id_col], as_index=False, sort=False) \
+            .size().rename(columns={"size": "n_occ"})
+        h = pd.util.hash_array(out["gram"].to_numpy())
+        out["_pk"] = (h % gram_partitions).astype("int64")
+        return out.astype({"n_occ": "int64"})
+
+    def shared_per_doc(g: pd.DataFrame) -> pd.DataFrame:
+        nd = g.groupby("gram", sort=False)[id_col].transform("size")
+        g = g[nd.to_numpy() >= min_docs]
+        agg = g.groupby(id_col, as_index=False, sort=False)["n_occ"] \
+            .sum()
+        ids = agg[id_col].to_numpy().astype("int64")
+        return pd.DataFrame({
+            id_col: ids,
+            "_tot": np.zeros(len(agg), dtype="int64"),
+            "_sh": agg["n_occ"].to_numpy().astype("int64"),
+            "_dk": ((ids.astype("uint64") * np.uint64(2654435761))
+                    % np.uint64(doc_partitions)).astype("int64")})
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        agg = g.groupby(id_col, as_index=False, sort=False) \
+            .agg(n_grams=("_tot", "sum"), n_shared=("_sh", "sum"))
+        tot = agg["n_grams"].to_numpy(dtype="float64")
+        sh = agg["n_shared"].to_numpy(dtype="float64")
+        nov = np.round(
+            1.0 - np.where(tot > 0, sh / np.where(tot > 0, tot, 1.0),
+                           0.0), 6)
+        return pd.DataFrame({
+            id_col: agg[id_col].astype("int64"),
+            "n_grams": agg["n_grams"].astype("int64"),
+            "n_shared": agg["n_shared"].astype("int64"),
+            "novelty": nov})
+
+    total_rows = ds.select_columns([id_col, text_col]).map_batches(
+        totals, batch_format="pandas")
+    shared_rows = ds.select_columns([id_col, text_col]) \
+        .map_batches(gram_partial, batch_format="pandas") \
+        .groupby("_pk").map_groups(
+            lambda g: shared_per_doc(g.drop(columns=["_pk"])),
+            batch_format="pandas")
+    return total_rows.union(shared_rows).groupby("_dk").map_groups(
+        lambda g: fold(g.drop(columns=["_dk"])), batch_format="pandas")
+
+
+def threshold_sweep(scores, *, score_col: str = "score",
+                    weight_col: str | None = None,
+                    thresholds=None):
+    """Filter-calibration sweep: for every candidate threshold t, the
+    kept-document count (score > t) and kept weight sum — the curve a
+    curation pipeline reads to pick its quality cutoff (how much data
+    survives at each operating point) without re-running the filter per
+    candidate.
+
+    ONE streaming pass: each batch compares its scores against the
+    whole threshold grid via a broadcasted matrix (rows x |grid| bools)
+    and emits |grid| partial rows; a |grid|-row groupby-sum finishes.
+    Returns a Dataset of (threshold, n_keep[, w_keep])."""
+    import ray.data  # noqa: F401  (engine dependency)
+
+    if thresholds is None:
+        thresholds = [round(0.1 * i, 1) for i in range(1, 10)]
+    grid = np.asarray(sorted(thresholds), dtype="float64")
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        s = df[score_col].to_numpy(dtype="float64")
+        keep = s[:, None] > grid[None, :]
+        out = pd.DataFrame({
+            "threshold": grid,
+            "n_keep": keep.sum(axis=0).astype("int64")})
+        if weight_col is not None:
+            # integer weights stay int64 end-to-end (exact, combine-order
+            # free); float weights round at the end like other float aggs
+            w = df[weight_col].to_numpy()
+            if np.issubdtype(w.dtype, np.integer):
+                out["w_keep"] = keep.T.astype("int64") @ w.astype("int64")
+            else:
+                out["w_keep"] = keep.T @ w.astype("float64")
+        return out
+
+    from ray.data.aggregate import Sum
+
+    aggs = [Sum("n_keep", alias_name="n_keep")]
+    if weight_col is not None:
+        aggs.append(Sum("w_keep", alias_name="w_keep"))
+    out = scores.map_batches(partial, batch_format="pandas") \
+        .groupby("threshold").aggregate(*aggs)
+
+    def fix_types(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["n_keep"] = df["n_keep"].astype("int64")
+        if weight_col is not None:
+            if np.issubdtype(df["w_keep"].dtype, np.integer):
+                df["w_keep"] = df["w_keep"].astype("int64")
+            else:
+                df["w_keep"] = np.round(df["w_keep"], 6)
+        return df
+
+    return out.map_batches(fix_types, batch_format="pandas")
+
+
 # --- collocation mining (PMI) ------------------------------------------------
 
 PMI_MIN_COUNT = 5

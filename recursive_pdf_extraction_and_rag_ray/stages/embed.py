@@ -12,6 +12,10 @@ Providers share one duck-type (``embed(list[str]) -> np.ndarray``):
 - ``HashEmbedder`` — deterministic local PRF embedder (shake_128 of the
   text -> 64 float32, L2-normalized). Default for tests/bench: no network
   in the sandbox, and determinism is what the correctness gate needs.
+- ``RandomProjectionEmbedder`` — second concrete local backend: hashed
+  bag-of-words + seeded Gaussian random projection, with the projection
+  matrix built ONCE per actor (the model-load shape). Proves the A4
+  multi-provider plug point with two exercisable implementations.
 - ``HttpEmbedder`` — the production shape: batched POST with retry/backoff
   identical in spirit to the reference's RetryCfg (5 tries, x1.5 backoff,
   max sleep 20s). Gated behind an import-try; raises unless an endpoint is
@@ -69,6 +73,49 @@ class HashEmbedder:
         return batch.append_column(
             "embedding_type",
             pa.array([self.embedding_type] * len(texts), pa.string()))
+
+
+class RandomProjectionEmbedder(HashEmbedder):
+    """Second concrete LOCAL backend behind the same duck-type (the
+    reference ships multiple interchangeable providers — Cloudflare BGE /
+    Ollama / Gemini — behind one surface; this proves the plug point
+    with two real, exercisable implementations, not one impl + a stub):
+    feature-hash the whitespace tokens into a ``n_features`` count
+    vector, project with a seeded Gaussian matrix (Johnson-Lindenstrauss
+    random projection — public method), L2-normalize.
+
+    Distinct semantics from HashEmbedder (bag-of-words: token-permuted
+    texts collide here, never there) and a REAL model-loading shape: the
+    (n_features x dim) projection matrix is built once per actor in
+    __init__ — the 'load the model once, not per batch' contract an
+    actor-pool stage exists for."""
+
+    def __init__(self, dim: int = EMBED_DIM, n_features: int = 4096,
+                 seed: int = 0x5EED, text_col: str = "text"):
+        super().__init__(dim=dim, text_col=text_col,
+                         embedding_type="random-projection")
+        self.n_features = n_features
+        # per-actor "model load": seeded dense projection, built once
+        rng = np.random.default_rng(seed)
+        self.proj = rng.standard_normal((n_features, dim)) \
+            / np.sqrt(dim)
+
+    def embed(self, texts: List[str]) -> np.ndarray:
+        import pandas as pd
+        if not texts:
+            return np.empty((0, self.dim), dtype=np.float32)
+        toks = pd.Series(texts, dtype="object").str.lower().str.split()
+        ex = toks.explode().dropna()
+        counts = np.zeros((len(texts), self.n_features), dtype=np.float64)
+        if len(ex):
+            rows = ex.index.to_numpy().astype(np.int64)
+            cols = (pd.util.hash_array(ex.to_numpy(dtype=object))
+                    % np.uint64(self.n_features)).astype(np.int64)
+            np.add.at(counts, (rows, cols), 1.0)
+        x = counts @ self.proj
+        norms = np.linalg.norm(x, axis=1, keepdims=True)
+        norms[norms == 0] = 1.0
+        return (x / norms).astype(np.float32)
 
 
 class HttpEmbedder(HashEmbedder):

@@ -358,6 +358,62 @@ def bm25_topk_from_index(index: "ray.data.Dataset",
     return top.to_pandas().astype({id_col: "int64", "score": "float64"})
 
 
+def tfidf_keywords(docs: "ray.data.Dataset", *, top: int = 3,
+                   id_col: str = "doc_id", text_col: str = "text",
+                   n_docs: int | None = None,
+                   token_partitions: int = INDEX_REDUCE_PARTITIONS,
+                   doc_partitions: int = 32) -> "ray.data.Dataset":
+    """Top-``top`` keywords per document by tf-idf
+    (score = round(tf * ln(N/df), 6), ties broken by ascending token) —
+    the classic keyword-extraction / weak-labeling primitive.
+
+    Scale shape — two coarse shuffles, nothing driver-sized: the
+    (token, doc, tf) rows are final after one batch pass (same kernel
+    as the index build); df per token is computed inside the SAME
+    token-hash partitioning the index build uses (no global
+    distinct-word table anywhere — df is attached to each token-doc row
+    in its own partition and the vocabulary is never collected); the
+    scored rows then re-partition by doc hash for a vectorized per-doc
+    top-``top`` cut. N comes from metadata (``docs.count()``)."""
+    if n_docs is None:
+        n_docs = docs.count()
+
+    def explode(df: pd.DataFrame) -> pd.DataFrame:
+        out = _token_doc_tf(df, id_col=id_col, text_col=text_col)
+        h = pd.util.hash_array(out["token"].to_numpy())
+        out["_pk"] = (h % token_partitions).astype("int64")
+        return out
+
+    def score_partition(g: pd.DataFrame) -> pd.DataFrame:
+        # df per token within its home partition (every row of a token
+        # lives here), then score every (token, doc) row vectorized
+        dfreq = g.groupby("token", sort=False)[id_col] \
+            .transform("size").to_numpy(dtype="float64")
+        score = np.round(
+            g["tf"].to_numpy(dtype="float64")
+            * np.log(float(n_docs) / dfreq), 6)
+        ids = g[id_col].to_numpy()
+        return pd.DataFrame({
+            id_col: ids, "token": g["token"].to_numpy(), "score": score,
+            "_dk": ((ids.astype("uint64") * np.uint64(2654435761))
+                    % np.uint64(doc_partitions)).astype("int64")})
+
+    def topk_per_doc(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([id_col, "score", "token"], kind="mergesort",
+                          ascending=[True, False, True])
+        g = g.groupby(id_col, sort=False).head(top)
+        return g[[id_col, "token", "score"]].astype({id_col: "int64"})
+
+    rows = docs.select_columns([id_col, text_col]) \
+        .map_batches(explode, batch_format="pandas")
+    scored = rows.groupby("_pk").map_groups(
+        lambda g: score_partition(g.drop(columns=["_pk"])),
+        batch_format="pandas")
+    return scored.groupby("_dk").map_groups(
+        lambda g: topk_per_doc(g.drop(columns=["_dk"])),
+        batch_format="pandas")
+
+
 def boolean_and_search(docs: "ray.data.Dataset", terms: Sequence[str], *,
                        id_col: str = "doc_id", text_col: str = "text",
                        ) -> "ray.data.Dataset":
