@@ -126,17 +126,24 @@ def mark_duplicates_join(docs: "ray.data.Dataset",
     itself). Output rows/columns identical to the broadcast path.
 
     The winner table is materialized first (slim by construction: dup
-    GROUPS only) — both to avoid re-executing its lineage and because a
-    fully-empty right side (zero duplicates) gives the hash join
-    schema-less partitions (Arrow 'no match for key field' error); the
-    empty case short-circuits to a constant '' column."""
+    GROUPS only) — both to avoid re-executing its lineage and because
+    its empty blocks must be merged away before the join: the upstream
+    hash-aggregate emits schema-LESS empty pandas blocks for partitions
+    that received no dup groups, and those break the per-partition Arrow
+    join ('no match for key field ... on right side'). A zero-winner
+    table short-circuits to a constant '' column; otherwise a slim
+    repartition (bounded by rows, never more blocks than
+    ``num_partitions``) leaves only schema-carrying blocks."""
     winners = winners.materialize()
-    if winners.count() == 0:
+    n_win = winners.count()
+    if n_win == 0:
         return docs.map_batches(
             lambda t: t.append_column(
                 "duplicate_of",
                 pa.array([""] * t.num_rows, pa.string())),
             batch_format="pyarrow")
+    winners = winners.repartition(
+        min(num_partitions, max(1, n_win // 65536 + 1)))
     joined = docs.join(winners, join_type="left_outer",
                        num_partitions=num_partitions, on=("text_sha256",))
 
