@@ -611,11 +611,23 @@ def run_index_stage(out_dir: str, concurrency: Optional[int] = None,
     conc = concurrency or _default_concurrency()
 
     def add_bucket(t: pa.Table) -> pa.Table:
+        import numpy as np
+
         t = t.filter(pc.equal(t["is_duplicate"], False)).drop_columns(
             ["is_duplicate"])
-        buckets = [group_key_bucket(k)
-                   for k in t.column("group_key").to_pylist()]
-        return t.append_column("gk_bucket", pa.array(buckets, pa.int32()))
+        # group keys repeat heavily (host-derived): dictionary-encode
+        # (one C hash pass) and run the per-byte Python FNV only over
+        # the UNIQUE keys, then gather — same buckets as the scalar
+        # function, ~rows/uniques x cheaper than hashing every row
+        d = pc.dictionary_encode(t.column("group_key")).combine_chunks()
+        uniq = np.asarray(
+            [group_key_bucket(k) for k in d.dictionary.to_pylist()],
+            dtype=np.int32)
+        if len(uniq) == 0:
+            buckets = pa.array(np.empty(0, dtype=np.int32), pa.int32())
+        else:
+            buckets = pa.array(uniq[d.indices.to_numpy()], pa.int32())
+        return t.append_column("gk_bucket", buckets)
 
     # covering index: id + metadata + vector only — chunk text stays in the
     # chunks table and is fetched by id (3x fewer bytes than carrying text).

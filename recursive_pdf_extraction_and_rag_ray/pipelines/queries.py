@@ -2366,7 +2366,10 @@ def _docs_as_url_sha(sf_dir):
         return pd.DataFrame({"url": url.to_numpy(),
                              "text_sha256": fp.to_numpy()})
 
-    return ds.map_batches(conv, batch_format="pandas")
+    # materialized: both consumers (winner aggregate + mark pass) would
+    # otherwise re-execute the per-row md5 lineage; the slim key table
+    # (url + 32-hex) is a fraction of the text bytes and spillable
+    return ds.map_batches(conv, batch_format="pandas").materialize()
 
 
 def q_dedup_mark_join(sf_dir):

@@ -131,6 +131,24 @@ def test_random_projection_embedder_semantics():
     assert np.allclose(v[0], v2[0])
 
 
+def test_index_bucket_dictencode_matches_scalar():
+    # the index stage hashes only UNIQUE group keys (dictionary-encode
+    # + gather); every row must still get exactly group_key_bucket(key)
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    from recursive_pdf_extraction_and_rag_ray.pipelines.extract_pipeline import (
+        group_key_bucket)
+
+    keys = [f"host{i % 7}.example/p{i % 3}" for i in range(500)] + ["", "x"]
+    col = pa.chunked_array([pa.array(keys[:300]), pa.array(keys[300:])])
+    d = pc.dictionary_encode(col).combine_chunks()
+    uniq = np.asarray([group_key_bucket(k)
+                       for k in d.dictionary.to_pylist()], dtype=np.int32)
+    got = uniq[d.indices.to_numpy()]
+    want = np.asarray([group_key_bucket(k) for k in keys], dtype=np.int32)
+    assert (got == want).all()
+
+
 def test_assembly_builds_both_embedders():
     from recursive_pdf_extraction_and_rag_ray.pipelines.assembly import build_pipeline
     ds = ray.data.from_pandas(pd.DataFrame({
