@@ -94,11 +94,77 @@ def _keep_first_by_fp(ds: "ray.data.Dataset",
                                      batch_format="pandas")
 
 
+def _fuzzy_leg(docs: "ray.data.Dataset", deduped: "ray.data.Dataset", *,
+               threshold: float,
+               distributed: bool = False) -> "ray.data.Dataset":
+    """Optional near-dup leg between exact dedup and the quota mixture:
+    MinHash+LSH keep-first (stages/neardup.py) over the text of the
+    FILTERED+EXACT-DEDUPED survivors only — pairs involving rows already
+    dropped must not steal cluster wins (a filtered-out doc with a
+    smaller id would otherwise eliminate a kept near-duplicate), so the
+    subset is taken before signatures are computed.
+
+    Default path broadcasts the slim kept-id array (ray.put once, read
+    zero-copy per batch) to carve the text subset and again to apply the
+    survivor set; ``distributed=True`` swaps both for hash joins with
+    the empty-block guard (materialize + row-bounded repartition — the
+    groupby/map_groups lineage of ``deduped`` emits schema-less empty
+    blocks when partitions outnumber rows, the round-4 failure class)."""
+    import functools
+
+    from ..stages.neardup import _default_join_partitions, \
+        neardup_dedup_keep_first
+
+    deduped = deduped.materialize()
+    n_kept = deduped.count()
+    if n_kept == 0:
+        return deduped
+    text_cols = docs.select_columns(["doc_id", "text"])
+    if distributed:
+        np_parts = _default_join_partitions()
+        slim_parts = max(1, min(np_parts, n_kept // 65536 + 1))
+        # deduped is itself a join side below — merge away its own
+        # schema-less empty map_groups blocks too
+        deduped = deduped.repartition(slim_parts).materialize()
+        kept_ids = deduped.select_columns(["doc_id"])
+        subset = text_cols.join(kept_ids, join_type="inner",
+                                num_partitions=np_parts, on=("doc_id",))
+        survivors = neardup_dedup_keep_first(
+            subset, threshold, distributed=True).materialize()
+        n_surv = survivors.count()
+        survivors = survivors.repartition(
+            max(1, min(np_parts, n_surv // 65536 + 1)))
+        return deduped.join(survivors, join_type="inner",
+                            num_partitions=slim_parts, on=("doc_id",))
+
+    def _in_ids(df: pd.DataFrame, ref) -> pd.DataFrame:
+        ids = ray.get(ref)
+        return df.loc[np.isin(df["doc_id"].to_numpy().astype(np.int64),
+                              ids)]
+
+    kept_arr = np.sort(deduped.select_columns(["doc_id"]).to_pandas()
+                       ["doc_id"].to_numpy().astype(np.int64))
+    kept_ref = ray.put(kept_arr)
+    subset = text_cols.map_batches(
+        functools.partial(_in_ids, ref=kept_ref), batch_format="pandas")
+    surv_arr = np.sort(
+        neardup_dedup_keep_first(subset, threshold).to_pandas()
+        ["doc_id"].to_numpy().astype(np.int64))
+    surv_ref = ray.put(surv_arr)
+    return deduped.map_batches(
+        functools.partial(_in_ids, ref=surv_ref), batch_format="pandas")
+
+
 def curate(docs: "ray.data.Dataset", *, quotas: Dict[str, int],
            entropy_min: float = CURATE_ENTROPY_MIN,
-           tokens_min: int = CURATE_TOKENS_MIN) -> "ray.data.Dataset":
+           tokens_min: int = CURATE_TOKENS_MIN,
+           fuzzy_threshold: float | None = None,
+           fuzzy_distributed: bool = False) -> "ray.data.Dataset":
     """Full curation pass over a documents table. Returns the curated
-    slim rows (doc_id, source, n_tokens, entropy)."""
+    slim rows (doc_id, source, n_tokens, entropy). With
+    ``fuzzy_threshold`` set, a MinHash near-dup keep-first leg runs
+    between exact dedup and the quota mixture (exact+fuzzy dedup in one
+    pipeline; ``fuzzy_distributed`` selects the join-based scale twin)."""
     import functools
 
     sig = docs.map_batches(
@@ -106,6 +172,9 @@ def curate(docs: "ray.data.Dataset", *, quotas: Dict[str, int],
                           tokens_min=tokens_min),
         batch_format="pandas")
     deduped = _keep_first_by_fp(sig)
+    if fuzzy_threshold is not None:
+        deduped = _fuzzy_leg(docs, deduped, threshold=fuzzy_threshold,
+                             distributed=fuzzy_distributed)
     mixed = sampling.sample_quota(deduped, key_col="doc_id",
                                   group_col="source", quotas=quotas)
     return mixed.select_columns(["doc_id", "source", "n_tokens", "entropy"])

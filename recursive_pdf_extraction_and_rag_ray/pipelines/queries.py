@@ -26,7 +26,7 @@ import ray
 import ray.data
 from ray.data.aggregate import Count, Max, Min, Sum
 
-from ..functions.textproc import chunk_records
+from ..functions.textproc import chunk_records, sha256_text
 from ..stages import neardup, similarity, textstats
 from ..stages.extract import ExtractPages
 from ..sources.pages_gen import pages_from_documents_batch
@@ -1076,10 +1076,12 @@ def _sql_band_fold() -> str:
     return h
 
 
-def _sql_minhash_ctes(threshold: float) -> str:
-    """The shared CTE chain documents -> minhash candidate pairs
-    (doc_a, doc_b, jaccard_est) at ``threshold``; composed into both
-    SQL_MINHASH_PAIRS and SQL_NEARDUP_DEDUP."""
+def _sql_minhash_ctes(threshold: float,
+                      source_table: str = "documents") -> str:
+    """The shared CTE chain (doc_id, text) -> minhash candidate pairs
+    (doc_a, doc_b, jaccard_est) at ``threshold``; composed into
+    SQL_MINHASH_PAIRS, SQL_NEARDUP_DEDUP and (over the curation-kept
+    subset via ``source_table``) SQL_CURATION_FUZZY."""
     return rf"""norm AS (
   SELECT doc_id,
          CASE WHEN length(s) < 5 THEN s || repeat(' ', 5 - length(s))
@@ -1087,7 +1089,7 @@ def _sql_minhash_ctes(threshold: float) -> str:
   FROM (SELECT doc_id,
                lower(array_to_string(list_filter(
                  regexp_split_to_array(text, '\s+'), x -> x <> ''), ' ')) AS s
-        FROM documents)
+        FROM {source_table})
 ),
 cps AS (
   SELECT doc_id, i, ord(c) AS c FROM (
@@ -1325,20 +1327,33 @@ def q_cosine_neardup_lsh(sf_dir):
 
 def q_chunk_documents(sf_dir):
     """Reference chunker over the documents table (chunk/merge/overlap/
-    dedupe + exact id derivation)."""
-    ds = _t(sf_dir, "documents", columns=["doc_id", "text", "lang"])
+    dedupe, SURVEY M5-M7 + §2.8). SQL-checked since round 5: the oracle
+    (SQL_CHUNK_DOCUMENTS) reconstructs split/greedy-merge/overlap/dedupe
+    as a recursive CTE and compares per-chunk sha256 of the chunk TEXT —
+    full value parity for the chunk contents. The sha1-derived chunk ids
+    stay pinned by the byte-identity goldens in tests/test_textproc.py
+    (DuckDB has no sha1). Each doc's text is amplified 9x with paragraph
+    breaks — identically on both sides — so the sf0.01 fixture actually
+    exercises multi-chunk merges, overlap prefixes and duplicate chunks
+    (1126 chunks / 159 dups / 373 multi-chunk docs) instead of one
+    trivial chunk per doc."""
+    ds = _t(sf_dir, "documents", columns=["doc_id", "text"])
 
     def to_chunks(t: pa.Table) -> pa.Table:
         rows = []
-        for doc_id, text, lang in zip(t["doc_id"].to_pylist(),
-                                      t["text"].to_pylist(),
-                                      t["lang"].to_pylist()):
-            for r in chunk_records(str(doc_id), text or "", lang=lang or ""):
+        for doc_id, text in zip(t["doc_id"].to_pylist(),
+                                t["text"].to_pylist()):
+            recs = chunk_records(str(doc_id), ((text or "") + "\n\n") * 9)
+            for r in recs:
                 rows.append({"doc_id": doc_id, "chunk_index": r["chunk_index"],
-                             "id": r["id"], "n_chars": r["n_chars"],
+                             "total_chunks": r["total_chunks_in_doc"],
+                             "chunk_sha256": sha256_text(r["text"]),
+                             "n_chars": r["n_chars"],
                              "is_duplicate": r["is_duplicate"]})
         schema = pa.schema([("doc_id", pa.int64()), ("chunk_index", pa.int32()),
-                            ("id", pa.string()), ("n_chars", pa.int64()),
+                            ("total_chunks", pa.int64()),
+                            ("chunk_sha256", pa.string()),
+                            ("n_chars", pa.int64()),
                             ("is_duplicate", pa.bool_())])
         return pa.Table.from_pylist(rows, schema=schema) if rows \
             else schema.empty_table()
@@ -3149,10 +3164,11 @@ def q_curation(sf_dir):
         quotas=CURATION_QUOTAS)
 
 
-SQL_CURATION = r"""
-WITH pad AS (SELECT doc_id, source, text, ' ' || text || ' ' AS p
-             FROM documents),
-sig AS (
+# pad..kept CTE chain shared by SQL_CURATION and SQL_CURATION_FUZZY
+_SQL_CURATION_KEPT_CTES = r"""pad AS (
+  SELECT doc_id, source, text, ' ' || text || ' ' AS p
+  FROM documents),
+csig AS (
   SELECT doc_id, source, text,
          len(list_filter(regexp_split_to_array(text, '\s+'),
                          x -> x <> '')) AS n_tokens,
@@ -3171,11 +3187,13 @@ ent AS (SELECT t.doc_id, round(-sum((k / n) * ln(k / n)), 6) AS entropy
         FROM ccnt JOIN ctot t USING (doc_id) GROUP BY t.doc_id),
 filt AS (
   SELECT s.doc_id, s.source, s.n_tokens, e.entropy, md5(s.text) AS fp
-  FROM sig s JOIN ent e USING (doc_id)
+  FROM csig s JOIN ent e USING (doc_id)
   WHERE e.entropy >= 2.8 AND s.n_tokens >= 30 AND s.en_hits >= 3),
 dedup AS (SELECT *, row_number() OVER (PARTITION BY fp
                                        ORDER BY doc_id) AS rn FROM filt),
-kept AS (SELECT doc_id, source, n_tokens, entropy FROM dedup WHERE rn = 1),
+kept AS (SELECT doc_id, source, n_tokens, entropy FROM dedup WHERE rn = 1)"""
+
+SQL_CURATION = ("WITH " + _SQL_CURATION_KEPT_CTES + r""",
 q(source, quota) AS (VALUES __QUOTAS__),
 ranked AS (
   SELECT k.*, row_number() OVER (PARTITION BY source
@@ -3183,35 +3201,204 @@ ranked AS (
   FROM kept k)
 SELECT r.doc_id, r.source, r.n_tokens, r.entropy
 FROM ranked r JOIN q USING (source) WHERE r.qrn <= q.quota
-""".replace("__QUOTAS__", _CURATION_QUOTA_VALUES)
+""").replace("__QUOTAS__", _CURATION_QUOTA_VALUES)
+
+# exact+fuzzy curation: the same pad..kept chain, then MinHash near-dup
+# keep-first OVER THE KEPT SUBSET ONLY (pairs with filtered-out docs must
+# not steal cluster wins), then the per-domain quota mixture
+SQL_CURATION_FUZZY = (
+    "WITH RECURSIVE " + _SQL_CURATION_KEPT_CTES + r""",
+fdocs AS (SELECT k.doc_id, d.text FROM kept k
+          JOIN documents d USING (doc_id)),
+""" + _sql_minhash_ctes(0.5, source_table="fdocs") + r""",
+edges AS (
+  SELECT doc_a AS node, doc_b AS nbr FROM mh_pairs
+  UNION
+  SELECT doc_b AS node, doc_a AS nbr FROM mh_pairs
+),
+reach(node, anc) AS (
+  SELECT node, nbr FROM edges
+  UNION
+  SELECT r.node, e.nbr FROM reach r JOIN edges e ON r.anc = e.node
+),
+losers AS (
+  SELECT node FROM reach GROUP BY node HAVING min(anc) < node
+),
+surv AS (SELECT * FROM kept
+         WHERE doc_id NOT IN (SELECT node FROM losers)),
+q(source, quota) AS (VALUES __QUOTAS__),
+ranked AS (
+  SELECT s.*, row_number() OVER (PARTITION BY source
+    ORDER BY (doc_id * 2654435761) % 4294967296, doc_id) AS qrn
+  FROM surv s)
+SELECT r.doc_id, r.source, r.n_tokens, r.entropy
+FROM ranked r JOIN q USING (source) WHERE r.qrn <= q.quota
+""").replace("__QUOTAS__", _CURATION_QUOTA_VALUES)
+
+
+def q_curation_fuzzy(sf_dir):
+    """Exact+fuzzy curation (VERDICT r4 item 8): the curation pipeline
+    with the MinHash near-dup keep-first leg enabled between exact dedup
+    and the quota mixture — one whole-pipeline oracle covering quality
+    filter, exact dedup, fuzzy dedup and mixture together."""
+    from . import curation
+
+    return curation.curate(
+        _t(sf_dir, "documents", columns=["doc_id", "source", "text"]),
+        quotas=CURATION_QUOTAS, fuzzy_threshold=0.5)
+
+
+def _lsh_bucket_sql_expr(bits: int, col: str = "embedding") -> str:
+    """SQL expression computing the hyperplane-LSH bucket EXACTLY as
+    stages/similarity.lsh_bucket_of does: bit j set iff embedding·plane_j
+    > 0. The seeded plane matrix (similarity._plane_matrix, seed 42) is
+    deterministic, so its float64 values are inlined as SQL literals —
+    the whole probe becomes DuckDB-checkable. Dim is pinned to the
+    testdata embeddings schema (64); both sides compute dots in float64,
+    so a sign flip would need |dot| at summation-order noise (~1e-13
+    relative), vanishingly unlikely for random embeddings."""
+    from ..stages.similarity import _plane_matrix
+
+    planes = _plane_matrix(64, bits, 42)
+    terms = []
+    for j in range(bits):
+        lits = ",".join(repr(float(v)) for v in planes[j])
+        terms.append(
+            f"(CASE WHEN list_inner_product({col}::DOUBLE[], [{lits}]) > 0.0"
+            f" THEN {1 << j} ELSE 0 END)")
+    return "(" + "\n + ".join(terms) + ")::BIGINT"
+
+
+SQL_LSH_ANN = f"""
+WITH b AS (
+  SELECT vec_id, embedding::DOUBLE[] AS e,
+         {_lsh_bucket_sql_expr(12)} AS bucket
+  FROM embeddings
+),
+q AS (SELECT bucket AS qb, e AS qe FROM b WHERE vec_id = 0)
+SELECT b.vec_id,
+       round(list_cosine_similarity(b.e, q.qe), 6) AS cos_sim
+FROM b, q
+WHERE bit_count(xor(b.bucket, q.qb)) <= 2
+ORDER BY round(list_cosine_similarity(b.e, q.qe), 6) DESC, b.vec_id
+LIMIT 10
+"""
+
+SQL_COSINE_NEARDUP_LSH = f"""
+WITH b AS (
+  SELECT vec_id, embedding::DOUBLE[] AS e,
+         {_lsh_bucket_sql_expr(6)} AS bucket
+  FROM embeddings
+)
+SELECT a.vec_id AS id_a, c.vec_id AS id_b,
+       round(list_cosine_similarity(a.e, c.e), 6) AS cos_sim
+FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id
+WHERE list_cosine_similarity(a.e, c.e) >= 0.3
+"""
+
+# The reference chunker (split on blank lines -> greedy buffer merge ->
+# 80-char overlap prefix -> intra-doc first-occurrence dedupe,
+# functions/textproc.py:45-92+178-192, reference chunking.py:6-61)
+# reconstructed as a recursive CTE: one step per paragraph carrying
+# (buffer, chunk counter), emitted buffers + the final buffer = base
+# chunks, lag() applies the overlap prefix, a per-(doc, text)
+# row_number marks duplicates. Chunk text parity is pinned via sha256
+# (DuckDB has no sha1; the sha1-derived ids are golden-pinned in
+# tests/test_textproc.py). Text amplified 9x on BOTH sides so
+# merge/overlap/dup branches are actually exercised at sf0.01.
+SQL_CHUNK_DOCUMENTS = r"""
+WITH RECURSIVE docs_p AS (
+  SELECT doc_id,
+         list_filter(
+           list_transform(
+             regexp_split_to_array(
+               regexp_replace(repeat(text || chr(10) || chr(10), 9),
+                              '\r\n?', chr(10), 'g'),
+               '\n\s*\n'),
+             p -> trim(p, ' ' || chr(9) || chr(10) || chr(13) || chr(12)
+                            || chr(11))),
+           p -> p <> '') AS paras
+  FROM documents
+),
+step AS (
+  SELECT doc_id, paras, 0::BIGINT AS i, ''::VARCHAR AS buf,
+         0::BIGINT AS cidx, NULL::VARCHAR AS emit
+  FROM docs_p WHERE len(paras) > 0
+  UNION ALL
+  SELECT doc_id, paras, i + 1,
+    CASE WHEN buf = '' THEN paras[i + 1]
+         WHEN length(buf) < 200
+              OR length(buf) + 2 + length(paras[i + 1]) <= 1600
+           THEN buf || chr(10) || chr(10) || paras[i + 1]
+         ELSE paras[i + 1] END,
+    CASE WHEN buf <> '' AND length(buf) >= 200
+              AND length(buf) + 2 + length(paras[i + 1]) > 1600
+           THEN cidx + 1 ELSE cidx END,
+    CASE WHEN buf <> '' AND length(buf) >= 200
+              AND length(buf) + 2 + length(paras[i + 1]) > 1600
+           THEN buf ELSE NULL END
+  FROM step WHERE i < len(paras)
+),
+base AS (
+  SELECT doc_id, cidx - 1 AS chunk_idx, emit AS chunk
+  FROM step WHERE emit IS NOT NULL
+  UNION ALL
+  SELECT doc_id, cidx, buf FROM step WHERE i = len(paras) AND buf <> ''
+),
+with_overlap AS (
+  SELECT doc_id, chunk_idx,
+         CASE WHEN prev IS NULL THEN chunk
+              ELSE (CASE WHEN strpos(right(prev, 80), ' ') >= 2
+                         THEN substr(right(prev, 80),
+                                     strpos(right(prev, 80), ' ') + 1)
+                         ELSE right(prev, 80) END) || ' ' || chunk END
+           AS chunk
+  FROM (SELECT doc_id, chunk_idx, chunk,
+               lag(chunk) OVER (PARTITION BY doc_id
+                                ORDER BY chunk_idx) AS prev
+        FROM base)
+)
+SELECT doc_id, chunk_idx::INT AS chunk_index,
+       (max(chunk_idx) OVER (PARTITION BY doc_id) + 1)::BIGINT
+         AS total_chunks,
+       sha256(chunk) AS chunk_sha256,
+       length(chunk)::BIGINT AS n_chars,
+       row_number() OVER (PARTITION BY doc_id, chunk
+                          ORDER BY chunk_idx) > 1 AS is_duplicate
+FROM with_overlap
+"""
 
 
 def queries() -> Dict[str, Callable]:
     """Registry in verification-priority order — a driver that checks a
     PREFIX of this dict hits the least-recently-verified entries first:
-    (1) queries never driver-checked through round 3, (2) new round-4
-    entries (index-served BM25, broadcast/join dup-mark twins,
-    distributed near-dup twins), (3) entries last driver-checked in
-    round 2, (4) the round-3-green set."""
+    (1) round-5 fixes and newly-SQL-checked entries (the r4 hard failure
+    neardup_dedup_dist, the three rows-only->oracle promotions, the
+    operators whose code changed this round), (2) queries last
+    driver-checked in round 4, (3) round 2, (4) the round-3-green set."""
     names = [
-        # (1) never driver-checked before round 4
-        "bm25_topk", "rrf_hybrid", "boolean_search", "inverted_index",
+        # (1) round-5 fixed / newly-oracled / code-touched this round
+        "neardup_dedup_dist", "lsh_ann", "cosine_neardup_lsh",
+        "chunk_documents", "curation_fuzzy", "bm25_topk",
+        "threshold_sweep", "dedup_mark_join", "dedup_mark_broadcast",
+        "dedup_exact",
+        # (2) last driver-checked in round 4
+        "rrf_hybrid", "boolean_search", "inverted_index",
         "incremental_dedup", "duplicate_ngrams", "latest_event_per_user",
         "percent_rank", "knn_multi", "value_outliers", "mixture_sample",
         "weighted_sample", "bigram_pmi", "funnel", "char_entropy",
         "events_rollup", "curation", "hll_users_by_type", "json_repair",
-        # (2) new round-4 entries (incl. newly-SQL-checkable r3 entries)
-        "bm25_from_index", "dedup_mark_join", "dedup_mark_broadcast",
-        "minhash_pairs_dist", "simhash_pairs_dist", "neardup_dedup_dist",
+        "bm25_from_index",
+        "minhash_pairs_dist", "simhash_pairs_dist",
         "semantic_dedup_dist", "contamination", "pack_documents",
-        "cms_event_counts", "tfidf_keywords", "threshold_sweep",
+        "cms_event_counts", "tfidf_keywords",
         "ngram_novelty",
-        # (3) last driver-checked in round 2
-        "dedup_exact", "fingerprint", "token_count", "lang_id", "quality",
+        # (3) last driver-checked in round 2/4
+        "fingerprint", "token_count", "lang_id", "quality",
         "doc_type", "completeness", "filtered_knn", "knn_bruteforce",
         "cosine_neardup", "minhash_pairs", "simhash_pairs",
-        "jaccard_pairs", "neardup_dedup", "lsh_ann", "ivf_ann",
-        "cosine_neardup_lsh", "chunk_documents", "chunk_documents_words",
+        "jaccard_pairs", "neardup_dedup", "ivf_ann",
+        "chunk_documents_words",
         "doc_metadata", "media_features", "extract_pages",
         "rolling_fingerprint",
         # (4) driver-green in round 3
@@ -3323,9 +3510,12 @@ def oracle_sql() -> Dict[str, str]:
         "simhash_pairs": SQL_SIMHASH_PAIRS,
         "minhash_pairs": SQL_MINHASH_PAIRS,
         "neardup_dedup": SQL_NEARDUP_DEDUP,
-        # lsh_ann/ivf_ann/cosine_neardup_lsh/chunk_documents[_words]/
-        # doc_metadata/media_features/extract_pages/rolling_fingerprint/
-        # json_repair: non-SQL-expressible -> rows-only checks (goldens
-        # pinned in tests/test_neardup.py and tests/test_textproc.py
-        # instead)
+        "lsh_ann": SQL_LSH_ANN,
+        "cosine_neardup_lsh": SQL_COSINE_NEARDUP_LSH,
+        "chunk_documents": SQL_CHUNK_DOCUMENTS,
+        "curation_fuzzy": SQL_CURATION_FUZZY,
+        # ivf_ann/chunk_documents_words/doc_metadata/media_features/
+        # extract_pages/rolling_fingerprint/json_repair:
+        # non-SQL-expressible -> rows-only checks (goldens pinned in
+        # tests/test_neardup.py and tests/test_textproc.py instead)
     }

@@ -562,7 +562,10 @@ def threshold_sweep(scores, *, score_col: str = "score",
 
     if thresholds is None:
         thresholds = [round(0.1 * i, 1) for i in range(1, 10)]
-    grid = np.asarray(sorted(thresholds), dtype="float64")
+    # np.unique, not sorted(): a duplicated caller threshold would emit
+    # duplicate grid rows per batch that the groupby-Sum merges, doubling
+    # that threshold's counts
+    grid = np.unique(np.asarray(list(thresholds), dtype="float64"))
 
     def partial(df: pd.DataFrame) -> pd.DataFrame:
         s = df[score_col].to_numpy(dtype="float64")

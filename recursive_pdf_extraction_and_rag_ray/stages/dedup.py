@@ -149,8 +149,14 @@ def mark_duplicates_join(docs: "ray.data.Dataset",
 
     def attach(t: pa.Table) -> pa.Table:
         w = t.column("winner")
-        keep = pc.or_kleene(pc.is_null(w), pc.equal(w, t.column("url")))
-        dup = pc.if_else(pc.fill_null(keep, True),
+        # null-url semantics (pinned, shared with the broadcast twin): a
+        # null url can never win Min("url") (Arrow Min skips nulls), so a
+        # null-url row in a dup group IS a duplicate of the group winner
+        # — equal(null, winner) folds to False, not True
+        keep = pc.or_kleene(
+            pc.is_null(w),
+            pc.fill_null(pc.equal(w, t.column("url")), False))
+        dup = pc.if_else(keep,
                          pa.scalar("", pa.string()), pc.cast(w, pa.string()))
         return t.drop_columns(["winner"]).append_column(
             "duplicate_of", pc.cast(dup, pa.string()))
@@ -176,9 +182,13 @@ class MarkDuplicatesFromBroadcast:
             self._vals = pa.array(list(self.winners.values()), pa.string())
         idx = pc.index_in(t.column("text_sha256"), value_set=self._keys)
         w = pc.take(self._vals, idx)  # null where key not in winner map
-        keep = pc.or_kleene(pc.is_null(w), pc.equal(w, t.column("url")))
-        dup = pc.if_else(pc.fill_null(keep, True),
-                         pa.scalar("", pa.string()), w)
+        # null-url rows in a dup group are duplicates of the winner (a
+        # null url cannot be the Min("url") winner) — same pinned
+        # semantics as mark_duplicates_join's attach
+        keep = pc.or_kleene(
+            pc.is_null(w),
+            pc.fill_null(pc.equal(w, t.column("url")), False))
+        dup = pc.if_else(keep, pa.scalar("", pa.string()), w)
         return t.append_column("duplicate_of",
                                pc.cast(dup, pa.string()))
 

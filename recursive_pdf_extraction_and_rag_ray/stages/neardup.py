@@ -292,7 +292,24 @@ def _hot_candidates_semijoin(sigs: "ray.data.Dataset",
     doc_id join to attach each hot member's signature (shipped once per
     hot membership, same volume as the broadcast path's candidate rows).
     This is the dup-saturated-corpus shape the module docstring names —
-    no driver set, no single-object broadcast."""
+    no driver set, no single-object broadcast.
+
+    The hot table is materialized first and its schema-less empty blocks
+    merged away (the round-4 empty-block join hazard: its groupby/filter
+    lineage emits them whenever partitions outnumber hot buckets —
+    guaranteed for a corpus with few or no duplicates). Zero hot buckets
+    short-circuits to an empty candidate table with the joined schema."""
+    hot_ds = hot_ds.materialize()
+    n_hot = hot_ds.count()
+    if n_hot == 0:
+        # zero candidates -> zero groups: the downstream coarse-key /
+        # per-bucket machinery only touches (doc_id, bucket), and the
+        # per-bucket pair fn is never invoked on an empty group set
+        return ray.data.from_pandas(pd.DataFrame({
+            "doc_id": pd.Series([], dtype="int64"),
+            "bucket": pd.Series([], dtype="int64")}))
+    hot_ds = hot_ds.repartition(
+        max(1, min(num_partitions, n_hot // 65536 + 1)))
     members = bands.join(hot_ds, join_type="inner",
                          num_partitions=num_partitions, on=("bucket",))
     return members.join(sigs, join_type="inner",
@@ -630,6 +647,15 @@ def components_losers_ds(pairs: "ray.data.Dataset", *,
     labels = edges.groupby("node") \
         .aggregate(Min("nbr", alias_name="label")) \
         .map_batches(clip_label, batch_format="pandas").materialize()
+    # the hash-aggregate emits schema-LESS empty blocks for partitions
+    # that received no groups; the per-partition Arrow inner join below
+    # then dies with 'no match for key field ... on right side' (same
+    # class as the mark_duplicates_join fix). One row per graph node, so
+    # a row-bounded repartition (re-applied after every groupby round)
+    # merges the empties away at negligible cost.
+    n_nodes = labels.count()
+    lbl_parts = max(1, min(np_parts, n_nodes // 65536 + 1))
+    labels = labels.repartition(lbl_parts).materialize()
     prev_sum = labels.aggregate(Sum("label"))["sum(label)"]
 
     for _ in range(max_iters):
@@ -646,7 +672,8 @@ def components_losers_ds(pairs: "ray.data.Dataset", *,
                     "label": df["nbr_label"].astype("int64")}),
                 batch_format="pandas")
         labels = labels.union(msgs).groupby("node") \
-            .aggregate(Min("label", alias_name="label")).materialize()
+            .aggregate(Min("label", alias_name="label")) \
+            .repartition(lbl_parts).materialize()
         cur_sum = labels.aggregate(Sum("label"))["sum(label)"]
         if cur_sum == prev_sum:
             break
@@ -676,14 +703,29 @@ def neardup_dedup_keep_first(docs: "ray.data.Dataset",
     ``distributed=True``: pairs stay a Dataset end-to-end — components
     via ``components_losers_ds`` min-label propagation, survivors via an
     anti-join (left-outer + null filter). Identical survivor set
-    (test-pinned); use when the pair list outgrows one machine."""
+    (test-pinned); use when the pair list outgrows one machine.
+
+    The loser table is materialized before the anti-join and its blocks
+    merged with a row-bounded repartition: its label-propagation lineage
+    (hash-aggregates + pandas map_batches) emits schema-LESS empty blocks
+    when partitions outnumber loser rows, which break the per-partition
+    Arrow join ('no match for key field doc_id on right side' — the
+    driver-gate failure at num_cpus=32 in round 4). Zero losers
+    short-circuits to a pass-through. Same guard as
+    ``dedup.mark_duplicates_join`` (commit 4bafa21)."""
     import functools
 
     pairs_ds = minhash_lsh_pairs(docs, threshold, distributed=distributed,
                                  num_partitions=num_partitions)
     if distributed:
-        losers_ds = components_losers_ds(pairs_ds,
-                                         num_partitions=num_partitions)
+        losers_ds = components_losers_ds(
+            pairs_ds, num_partitions=num_partitions).materialize()
+        n_losers = losers_ds.count()
+        if n_losers == 0:
+            return docs.select_columns(["doc_id"])
+        losers_ds = losers_ds.repartition(
+            max(1, min(num_partitions or _default_join_partitions(),
+                       n_losers // 65536 + 1)))
 
         def survivors(df: pd.DataFrame) -> pd.DataFrame:
             keep = df["winner"].isna()

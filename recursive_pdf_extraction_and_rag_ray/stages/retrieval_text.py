@@ -212,9 +212,14 @@ def bm25_topk(docs: "ray.data.Dataset", terms: Sequence[str], *,
     def slim(df: pd.DataFrame) -> pd.DataFrame:
         tf, dl = _term_tf_matrix(df, terms, text_col)
         hit = (tf > 0.0).any(axis=1)
+        # the stats row is flagged by an explicit boolean marker column,
+        # NOT an in-band id value — a corpus may legitimately contain any
+        # int64 doc_id (the id below is a filler, never consulted)
         out = pd.DataFrame({
             id_col: np.concatenate(
                 [[np.int64(-1)], df[id_col].to_numpy()[hit]]),
+            "_is_stats": np.concatenate(
+                [[True], np.zeros(int(hit.sum()), dtype=bool)]),
             "_dl": np.concatenate([[dl.sum()], dl[hit]]),
             "_n": np.concatenate(
                 [[np.float64(len(df))], np.zeros(int(hit.sum()))]),
@@ -233,7 +238,7 @@ def bm25_topk(docs: "ray.data.Dataset", terms: Sequence[str], *,
         df_map = stats["df"]
     else:
         st = slim_ds.map_batches(
-            lambda df: df[df[id_col] == -1], batch_format="pandas") \
+            lambda df: df[df["_is_stats"]], batch_format="pandas") \
             .to_pandas()
         n = int(st["_n"].sum())
         avgdl = float(st["_dl"].sum()) / n if n else 0.0
@@ -244,7 +249,7 @@ def bm25_topk(docs: "ray.data.Dataset", terms: Sequence[str], *,
                       for t in terms], dtype="float64")
 
     def score(df: pd.DataFrame) -> pd.DataFrame:
-        df = df[df[id_col] != -1]
+        df = df[~df["_is_stats"]]
         if not len(df):
             return pd.DataFrame({id_col: pd.Series([], dtype="int64"),
                                  "score": pd.Series([], dtype="float64")})

@@ -51,3 +51,32 @@ def test_curate_dedup_winner_is_min_doc_id():
     out = curation.curate(ds, quotas={"a": 10},
                           entropy_min=2.0).to_pandas()
     assert list(out["doc_id"]) == [0]
+
+
+def test_curate_fuzzy_drops_neardups_and_twins_agree():
+    """The fuzzy leg drops near-duplicates (high-Jaccard, not byte-equal)
+    that survive exact dedup, keeps the cluster-minimum doc, and the
+    broadcast and join-based (distributed) twins return the same rows."""
+    near = GOOD + " trailing tweak"
+    rows = [
+        (0, "a", GOOD),
+        (1, "a", near),              # near-dup of 0 -> fuzzy-dropped
+        (2, "b", "completely different body in this record about other "
+                 "topics with plenty of the varied and unusual words to "
+                 "clear the entropy bar and the token count threshold in "
+                 "the quality filter of the curation stage for keeps"),
+    ]
+    outs = {}
+    for dist in (False, True):
+        out = curation.curate(_docs(rows), quotas={"a": 5, "b": 5},
+                              entropy_min=2.0, fuzzy_threshold=0.5,
+                              fuzzy_distributed=dist).to_pandas()
+        outs[dist] = out.sort_values("doc_id").reset_index(drop=True)
+        assert sorted(out["doc_id"]) == [0, 2], dist
+    pd.testing.assert_frame_equal(outs[False], outs[True])
+
+    # without the fuzzy leg the near-dup survives (pins that the drop
+    # above is the fuzzy leg's doing, not the quality filter)
+    base = curation.curate(_docs(rows), quotas={"a": 5, "b": 5},
+                           entropy_min=2.0).to_pandas()
+    assert sorted(base["doc_id"]) == [0, 1, 2]

@@ -136,6 +136,47 @@ def test_neardup_dedup_distributed_identical(ray_session):
     assert 0 < len(dist) < _docs().count()  # some losers actually dropped
 
 
+def test_neardup_dedup_dist_partitions_exceed_losers(ray_session):
+    """Regression for the round-4 driver-gate failure: at num_cpus=32 the
+    join ran with partitions ≫ loser rows, the label-propagation lineage
+    emitted schema-less empty blocks, and the per-partition Arrow join
+    died with ArrowInvalid 'no match for key field doc_id'. Force the
+    same shape explicitly — partitions ≫ loser rows — and pin
+    survivor-set parity with the driver path. 12 partitions over a
+    100-doc / 3-loser slice, not the driver's 32 over the full table:
+    each hash-shuffle partition is an aggregator actor at 0.125 CPU,
+    and two stacked 32-partition joins deadlock the 4-CPU test session
+    (32-CPU coverage comes from the driver gate itself)."""
+    import pyarrow.dataset as pads
+
+    def docs100():
+        return ray.data.read_parquet(
+            f"{SF_DIR}/documents.parquet", columns=["doc_id", "text"],
+            filter=(pads.field("doc_id") < 100))
+
+    driver = set(neardup.neardup_dedup_keep_first(docs100(), 0.5)
+                 .to_pandas()["doc_id"])
+    dist = set(neardup.neardup_dedup_keep_first(
+        docs100(), 0.5, distributed=True, num_partitions=12)
+        .to_pandas()["doc_id"])
+    assert driver == dist
+    assert 0 < len(dist) < 100
+    assert 100 - len(dist) < 12  # the repro precondition: losers < parts
+
+
+def test_neardup_dedup_dist_zero_losers_passthrough(ray_session):
+    """A corpus with no near-duplicates short-circuits: every doc_id
+    survives and no join runs (the zero-loser branch)."""
+    docs = ray.data.from_pandas(pd.DataFrame({
+        "doc_id": [1, 2, 3],
+        "text": ["alpha bravo charlie delta echo",
+                 "one two three four five six",
+                 "zig zag zog zug zeg zip"]})).repartition(8)
+    out = neardup.neardup_dedup_keep_first(docs, 0.9, distributed=True,
+                                           num_partitions=8).to_pandas()
+    assert set(out["doc_id"]) == {1, 2, 3}
+
+
 def test_hot_buckets_ds_matches_driver_combine(ray_session):
     """The distributed hot-bucket reduce returns exactly the driver
     combine's bucket set."""
