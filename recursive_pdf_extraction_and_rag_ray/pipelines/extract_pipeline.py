@@ -173,6 +173,58 @@ def _extract_commit_partials(df) -> "pa.Table":
     return out
 
 
+COMMIT_TAP_DIRNAME = "_commit_tap"
+
+
+def _spill_partials(parts: pa.Table, tmp_dir: str) -> None:
+    """Spill one tiny parquet of associative commit-partial rows from
+    inside the write pipeline. IDEMPOTENT under task retries: the file
+    name is a digest of the partial CONTENT, so a retried task that
+    recomputes the same block overwrites its own file instead of
+    double-counting the checksum (the property the old read-back pass
+    got for free)."""
+    import hashlib
+
+    import pyarrow.parquet as pq
+
+    if parts.num_rows == 0:
+        return
+    os.makedirs(tmp_dir, exist_ok=True)
+    digest = hashlib.sha1(
+        parts.to_pandas().to_csv(index=False).encode()).hexdigest()
+    path = os.path.join(tmp_dir, f"{digest}.parquet")
+    tmp = path + ".tmp"
+    pq.write_table(parts, tmp)
+    os.replace(tmp, path)
+
+
+def _tap_extract_commit(batch: pa.Table, tmp_dir: str) -> pa.Table:
+    """Pass-through stage ahead of the docs write: computes the SAME
+    associative commit partials the read-back pass derived from the
+    written files (rows are byte-identical either side of write_parquet)
+    and spills them as kilobyte side files — so the commit pass costs a
+    read of tiny partials instead of a second scan of the whole written
+    corpus (a fixed ~2-4 s floor that capped scaling efficiency)."""
+    df = batch.select(["url", "text_sha256", "method", "shard"]).to_pandas()
+    parts = _extract_commit_partials(df)
+    _spill_partials(pa.Table.from_pandas(parts, preserve_index=False),
+                    tmp_dir)
+    return batch
+
+
+def _tap_chunks_commit(batch: pa.Table, tmp_dir: str) -> pa.Table:
+    """Chunks-stage twin of ``_tap_extract_commit``: spills the lineage
+    checksum + token partials from the in-flight embedded batches."""
+    cols = [c for c in ("url", "n_chars", "shard") if c in batch.column_names]
+    _spill_partials(_checksum_partials(batch.select(cols)), tmp_dir)
+    return batch
+
+
+def _read_tap_partials(tmp_dir: str) -> "ray.data.Dataset | None":
+    files = sorted(glob.glob(os.path.join(tmp_dir, "*.parquet")))
+    return ray.data.read_parquet(files) if files else None
+
+
 def _write_dedup_partials(out_dir: str, shard: str, table: pa.Table) -> None:
     import pyarrow.parquet as pq
     d = os.path.join(out_dir, DEDUP_DIRNAME)
@@ -212,8 +264,11 @@ def load_dup_winners(out_dir: str) -> Dict[str, str]:
 
 
 def _combine_checksums(ds: "ray.data.Dataset") -> Dict[str, dict]:
-    partials = ds.map_batches(
-        _checksum_partials, batch_format="pyarrow")
+    return _combine_checksum_partials(ds.map_batches(
+        _checksum_partials, batch_format="pyarrow"))
+
+
+def _combine_checksum_partials(partials: "ray.data.Dataset") -> Dict[str, dict]:
     acc: Dict[str, List[int]] = {}
     for b in partials.iter_batches(batch_format="pyarrow"):
         for s, n, ksum, ntok in zip(b.column("shard").to_pylist(),
@@ -291,6 +346,7 @@ def run_extract_stage(input_dir_or_paths, out_dir: str, *,
                       batch_size: int = 64,
                       resume: bool = True,
                       commit_mode: str = "auto",
+                      commit_source: str = "tap",
                       giant_split: bool = True) -> Dict[str, int]:
     """pages shards -> out_dir/docs (partitioned by shard) + lineage.
 
@@ -306,7 +362,14 @@ def run_extract_stage(input_dir_or_paths, out_dir: str, *,
     C++ hash aggregate on the driver (fastest, fine to ~5e7 doc rows per
     run); 'distributed' shuffles the partials once on ``shard`` and each
     task commits its own shard (no driver-sized state); 'auto' picks from
-    the written parquet footers."""
+    the written parquet footers.
+
+    ``commit_source``: 'tap' (default) computes the commit partials
+    INSIDE the write pipeline (pass-through ``_tap_extract_commit``
+    spilling idempotent kilobyte side files) — no second scan of the
+    written corpus; 'readback' re-reads the written shards' key columns
+    (the pre-round-5 behavior, kept as the independent verification path
+    — byte-identical lineage, pinned by test)."""
     from ..stages.skewtools import (
         DEFAULT_MAX_PAGES,
         GIANT_PAYLOAD_HINT,
@@ -327,7 +390,11 @@ def run_extract_stage(input_dir_or_paths, out_dir: str, *,
     seg_dir = os.path.join(out_dir, SEGMENTS_DIRNAME)
     shutil.rmtree(seg_dir, ignore_errors=True)  # transient spill, mid-run only
 
+    import functools
+
     conc = concurrency or _default_concurrency()
+    tap_dir = os.path.join(out_dir, COMMIT_TAP_DIRNAME)
+    shutil.rmtree(tap_dir, ignore_errors=True)  # stale partials: crashed run
     ds = ray.data.read_parquet(pending, include_paths=True)
     if giant_split:
         exploded = ds.map_batches(
@@ -343,30 +410,50 @@ def run_extract_stage(input_dir_or_paths, out_dir: str, *,
         docs = ds.map_batches(
             ExtractPages, batch_format="pyarrow", batch_size=batch_size,
             concurrency=_pool(conc), num_cpus=1)
+    tap = functools.partial(_tap_extract_commit, tmp_dir=tap_dir)
+    if commit_source == "tap":
+        # batch_size=None: whole zero-copy blocks, one side file per block
+        docs = docs.map_batches(tap, batch_format="pyarrow",
+                                batch_size=None)
     docs.write_parquet(docs_dir, partition_cols=["shard"],
                       compression="zstd")
     if giant_split and glob.glob(os.path.join(seg_dir, "*.parquet")):
-        reassemble_spilled_segments(seg_dir).write_parquet(
+        reassembled = reassemble_spilled_segments(seg_dir)
+        if commit_source == "tap":
+            reassembled = reassembled.map_batches(
+                tap, batch_format="pyarrow", batch_size=None)
+        reassembled.write_parquet(
             docs_dir, partition_cols=["shard"], compression="zstd")
         shutil.rmtree(seg_dir, ignore_errors=True)
 
-    # one read-back pass over the written shards (3 short columns) builds
-    # BOTH the lineage checksums and the per-shard dedup-winner partials
-    # (so the rag stage never re-scans the corpus for global dedup). The
-    # per-row work (sha1, grouping) runs in map_batches tasks; the driver
-    # only combines associative partials — vectorized, never a python loop
-    # over document rows. Driver partial volume is ~1 dedup row per doc;
-    # fine to ~1e8 docs per run — beyond that, point the same partial
-    # stream at a hash-partitioned reduce (stages.dedup.compute_dup_winners
-    # shape) and write _dedup shards from the reduce tasks.
+    # the commit pass builds BOTH the lineage checksums and the per-shard
+    # dedup-winner partials (so the rag stage never re-scans the corpus
+    # for global dedup). commit_source='tap': the partials were already
+    # spilled from inside the write pipeline above — read the kilobyte
+    # side files. 'readback': one pass over the written shards (3 short
+    # columns). Either way the per-row work (sha1, grouping) ran in
+    # tasks; the driver only combines associative partials — vectorized,
+    # never a python loop over document rows. Driver partial volume is
+    # ~1 dedup row per doc; fine to ~1e8 docs per run — beyond that,
+    # commit_mode='distributed' hash-partitions the same partial stream
+    # and writes _dedup shards from the reduce tasks.
     import numpy as np
 
     files = _partition_files(docs_dir, pending_stems)
-    written = ray.data.read_parquet(
-        files, columns=["url", "text_sha256", "method"], include_paths=True,
-    ).map_batches(_attach_shard_from_path, batch_format="pyarrow")
-    parts = written.map_batches(_extract_commit_partials,
-                                batch_format="pandas")
+    if commit_source == "tap":
+        parts = _read_tap_partials(tap_dir)
+        if parts is None:
+            import pandas as pd
+            parts = ray.data.from_pandas(_extract_commit_partials(
+                pd.DataFrame(
+                    columns=["url", "text_sha256", "method", "shard"])))
+    else:
+        written = ray.data.read_parquet(
+            files, columns=["url", "text_sha256", "method"],
+            include_paths=True,
+        ).map_batches(_attach_shard_from_path, batch_format="pyarrow")
+        parts = written.map_batches(_extract_commit_partials,
+                                    batch_format="pandas")
     use_dist = commit_mode == "distributed" or (
         commit_mode == "auto"
         and _parquet_total_rows(files) > EXTRACT_COMMIT_DRIVER_MAX_ROWS)
@@ -414,6 +501,7 @@ def run_extract_stage(input_dir_or_paths, out_dir: str, *,
         sums.setdefault(s, {"n_rows": 0, "checksum": "0" * 16})
     _commit(out_dir, STAGE_EXTRACT,
             {s: s for s in pending_stems}, sums)
+    shutil.rmtree(tap_dir, ignore_errors=True)
     return {"shards_total": len(shards), "shards_run": len(pending)}
 
 
@@ -462,7 +550,8 @@ def _dedup_partial_rows(out_dir: str) -> int:
 def run_rag_stage(out_dir: str, *, concurrency: Optional[int] = None,
                   embed_batch: int = 512, resume: bool = True,
                   embedder_cls=HashEmbedder,
-                  dedup_mode: str = "auto") -> Dict[str, int]:
+                  dedup_mode: str = "auto",
+                  commit_source: str = "tap") -> Dict[str, int]:
     """out_dir/docs -> dedup-mark -> chunk -> embed -> out_dir/chunks.
 
     Dedup winners are computed over the FULL corpus from the per-shard
@@ -547,15 +636,31 @@ def run_rag_stage(out_dir: str, *, concurrency: Optional[int] = None,
     embedded = chunks.map_batches(
         embedder_cls, batch_format="pyarrow", batch_size=embed_batch,
         concurrency=_pool(conc), num_cpus=1)
+    tap_dir = os.path.join(out_dir, COMMIT_TAP_DIRNAME + "_chunks")
+    if commit_source == "tap":
+        # lineage/billing partials spilled from inside the write pipeline
+        # (n_chars rides along, no extra text read; see _tap_extract_commit
+        # for the idempotence story) — the written corpus is never
+        # re-scanned just to commit
+        import functools
+        shutil.rmtree(tap_dir, ignore_errors=True)
+        embedded = embedded.map_batches(
+            functools.partial(_tap_chunks_commit, tmp_dir=tap_dir),
+            batch_format="pyarrow", batch_size=None)
     embedded.write_parquet(chunks_dir, partition_cols=["shard"],
                            compression="zstd")
 
-    # n_chars rides along so the billing partial needs no extra text read
-    written = ray.data.read_parquet(
-        _partition_files(chunks_dir, pending),
-        columns=["id", "url", "n_chars"], include_paths=True,
-    ).map_batches(_attach_shard_from_path, batch_format="pyarrow")
-    sums = _combine_checksums(written)
+    if commit_source == "tap":
+        parts = _read_tap_partials(tap_dir)
+        sums = _combine_checksum_partials(parts) if parts is not None else {}
+    else:
+        # n_chars rides along so the billing partial needs no extra text
+        # read
+        written = ray.data.read_parquet(
+            _partition_files(chunks_dir, pending),
+            columns=["id", "url", "n_chars"], include_paths=True,
+        ).map_batches(_attach_shard_from_path, batch_format="pyarrow")
+        sums = _combine_checksums(written)
     # shards can legitimately produce zero chunks (all-empty docs)
     for s in pending:
         sums.setdefault(s, {"n_rows": 0, "checksum": "0" * 16,
@@ -570,6 +675,7 @@ def run_rag_stage(out_dir: str, *, concurrency: Optional[int] = None,
          "n_tokens": sums[s].get("n_tokens", 0),
          "n_errors": 0, "wall_s": 0.0}
         for s in pending])
+    shutil.rmtree(tap_dir, ignore_errors=True)
     return {"shards_total": len(all_shards), "shards_run": len(pending)}
 
 
@@ -585,7 +691,8 @@ def group_key_bucket(key: str, buckets: int = INDEX_BUCKETS) -> int:
 
 
 def run_index_stage(out_dir: str, concurrency: Optional[int] = None,
-                    num_blocks: Optional[int] = None) -> str:
+                    num_blocks: Optional[int] = None,
+                    layout: str = "bucketed") -> str:
     """chunks -> index shards partitioned by gk_bucket = hash(group_key)
     mod INDEX_BUCKETS (the index-build groupby of SURVEY.md section 7.3;
     Chroma-collection analog). ``group_key`` stays as a column, so a
@@ -597,11 +704,18 @@ def run_index_stage(out_dir: str, concurrency: Optional[int] = None,
     on group_key cost tasks x 200 files (measured: a flat ~7 s of pure
     file creation that did not shrink with CPUs — a scaling-bench floor).
     tasks x 32 buckets bounds the fan-out independent of key
-    cardinality. A global hash-exchange (DataContext.shuffle_strategy=
-    HASH_SHUFFLE + repartition on the key) would co-locate keys perfectly
-    — one file per bucket — but its aggregator actors measured ~90 s of
-    overhead at this scale; it becomes the right layout on a multi-node
-    cluster."""
+    cardinality.
+
+    ``layout``: 'bucketed' (default) writes straight from the read
+    tasks — up to tasks x INDEX_BUCKETS files, zero shuffle; right on
+    one node. 'exchange' inserts a keyed hash exchange
+    (groupby(gk_bucket).map_groups identity) so each bucket lands
+    whole in ONE task — exactly one file per bucket, the layout a
+    multi-node cluster wants (readers fetch one object per bucket; the
+    shuffle cost amortizes across nodes). Identical ROWS either way —
+    parity-pinned in tests/test_pipeline_identity.py; only the file
+    layout differs. Locally the exchange's aggregator actors measured
+    ~90 s of flat overhead at bench scale, hence not the default."""
     chunks_dir = os.path.join(out_dir, "chunks")
     index_dir = os.path.join(out_dir, "index")
     if not os.path.isdir(chunks_dir):
@@ -643,6 +757,12 @@ def run_index_stage(out_dir: str, concurrency: Optional[int] = None,
                  "n_chars", "is_duplicate", "embedding", "embedding_type"],
         override_num_blocks=num_blocks or max(16, conc))
     ds = ds.map_batches(add_bucket, batch_format="pyarrow")
+    if layout == "exchange":
+        ds = ds.groupby("gk_bucket").map_groups(
+            lambda t: t, batch_format="pyarrow")
+    elif layout != "bucketed":
+        raise ValueError(f"unknown index layout {layout!r} "
+                         "(expected 'bucketed' or 'exchange')")
     ds.write_parquet(index_dir, partition_cols=["gk_bucket"],
                      compression="zstd")
     return index_dir

@@ -610,20 +610,26 @@ def components_losers_ds(pairs: "ray.data.Dataset", *,
     minimum is another doc. Nothing graph-shaped lands on the driver;
     the per-round convergence check is a single Sum aggregate (labels
     are monotone non-increasing, so an unchanged sum IS the fixpoint)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
     from ray.data.aggregate import Min, Sum
 
     np_parts = num_partitions or _default_join_partitions()
 
-    def both_dirs(df: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame({
-            "node": pd.concat([df["doc_a"], df["doc_b"]],
-                              ignore_index=True).astype("int64"),
-            "nbr": pd.concat([df["doc_b"], df["doc_a"]],
-                             ignore_index=True).astype("int64"),
+    # the per-iteration batch fns below are zero-copy Arrow (column
+    # concat / rename / element-wise min) — they run every propagation
+    # round over the whole edge/label stream, so a pandas conversion
+    # here would copy the hot loop's entire working set each round
+    def both_dirs(t: pa.Table) -> pa.Table:
+        a = pc.cast(t.column("doc_a"), pa.int64())
+        b = pc.cast(t.column("doc_b"), pa.int64())
+        return pa.table({
+            "node": pa.chunked_array(a.chunks + b.chunks),
+            "nbr": pa.chunked_array(b.chunks + a.chunks),
         })
 
     edges = pairs.select_columns(["doc_a", "doc_b"]).map_batches(
-        both_dirs, batch_format="pandas").materialize()
+        both_dirs, batch_format="pyarrow").materialize()
     n_edges = edges.count()
     if n_edges == 0:
         return ray.data.from_pandas(pd.DataFrame({
@@ -636,17 +642,18 @@ def components_losers_ds(pairs: "ray.data.Dataset", *,
     # dozens of idle aggregator actors per round
     np_parts = max(2, min(np_parts, (n_edges + 65535) // 65536 + 1))
 
-    def clip_label(df: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame({
-            "node": df["node"].astype("int64"),
-            "label": np.minimum(df["node"].to_numpy(),
-                                df["label"].to_numpy()).astype("int64"),
+    def clip_label(t: pa.Table) -> pa.Table:
+        node = pc.cast(t.column("node"), pa.int64())
+        return pa.table({
+            "node": node,
+            "label": pc.min_element_wise(
+                node, pc.cast(t.column("label"), pa.int64())),
         })
 
     # round 0 for free: label = min(node, min over direct neighbors)
     labels = edges.groupby("node") \
         .aggregate(Min("nbr", alias_name="label")) \
-        .map_batches(clip_label, batch_format="pandas").materialize()
+        .map_batches(clip_label, batch_format="pyarrow").materialize()
     # the hash-aggregate emits schema-LESS empty blocks for partitions
     # that received no groups; the per-partition Arrow inner join below
     # then dies with 'no match for key field ... on right side' (same
@@ -660,17 +667,16 @@ def components_losers_ds(pairs: "ray.data.Dataset", *,
 
     for _ in range(max_iters):
         nbr_labels = labels.map_batches(
-            lambda df: pd.DataFrame({
-                "nbr": df["node"].astype("int64"),
-                "nbr_label": df["label"].astype("int64")}),
-            batch_format="pandas")
+            lambda t: pa.table({"nbr": t.column("node"),
+                                "nbr_label": t.column("label")}),
+            batch_format="pyarrow")
         msgs = edges.join(nbr_labels, join_type="inner",
                           num_partitions=np_parts, on=("nbr",)) \
             .map_batches(
-                lambda df: pd.DataFrame({
-                    "node": df["node"].astype("int64"),
-                    "label": df["nbr_label"].astype("int64")}),
-                batch_format="pandas")
+                lambda t: pa.table({
+                    "node": pc.cast(t.column("node"), pa.int64()),
+                    "label": pc.cast(t.column("nbr_label"), pa.int64())}),
+                batch_format="pyarrow")
         labels = labels.union(msgs).groupby("node") \
             .aggregate(Min("label", alias_name="label")) \
             .repartition(lbl_parts).materialize()
@@ -683,10 +689,12 @@ def components_losers_ds(pairs: "ray.data.Dataset", *,
             f"components_losers_ds did not converge in {max_iters} rounds "
             "(pathologically long chain clusters — raise max_iters)")
 
-    return labels.map_batches(
-        lambda df: df.loc[df["label"] != df["node"]].rename(
-            columns={"node": "doc_id", "label": "winner"}),
-        batch_format="pandas")
+    def losers_only(t: pa.Table) -> pa.Table:
+        keep = t.filter(pc.not_equal(t.column("label"), t.column("node")))
+        return pa.table({"doc_id": keep.column("node"),
+                         "winner": keep.column("label")})
+
+    return labels.map_batches(losers_only, batch_format="pyarrow")
 
 
 def neardup_dedup_keep_first(docs: "ray.data.Dataset",

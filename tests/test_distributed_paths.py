@@ -187,3 +187,51 @@ def test_hot_buckets_ds_matches_driver_combine(ray_session):
     driver = neardup._hot_buckets(bands)
     dist = set(neardup._hot_buckets_ds(bands).to_pandas()["bucket"])
     assert driver == dist and len(driver) > 0
+
+
+def test_commit_tap_matches_readback(ray_session, tmp_path):
+    """commit_source='tap' (partials spilled from inside the write
+    pipeline, no corpus re-scan) must leave byte-identical lineage
+    checksums, _dedup partials and billing metrics to the read-back pass
+    it replaces."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from recursive_pdf_extraction_and_rag_ray.pipelines.extract_pipeline import (
+        run_extract_stage,
+        run_rag_stage,
+    )
+    from recursive_pdf_extraction_and_rag_ray.state.lineage import load_lineage
+    from recursive_pdf_extraction_and_rag_ray.state.metrics import load_metrics
+
+    got = {}
+    for src in ("tap", "readback"):
+        root = str(tmp_path / f"cs_{src}")
+        synthesize_corpus(f"{root}/pages", n_docs=150, n_shards=3)
+        run_extract_stage(f"{root}/pages", f"{root}/out", concurrency=3,
+                          commit_source=src)
+        run_rag_stage(f"{root}/out", concurrency=3, commit_source=src)
+        dd_dir = f"{root}/out/_dedup"
+        partials = {
+            f: pq.read_table(os.path.join(dd_dir, f)).to_pandas()
+            .sort_values(["text_sha256"]).reset_index(drop=True)
+            for f in sorted(os.listdir(dd_dir))
+        }
+        lin = load_lineage(f"{root}/out").to_pandas()[
+            ["shard", "stage", "n_rows", "checksum"]] \
+            .sort_values(["stage", "shard"]).reset_index(drop=True)
+        met = load_metrics(f"{root}/out").to_pandas()[
+            ["stage", "key", "n_rows", "n_tokens"]] \
+            .sort_values(["stage", "key"]).reset_index(drop=True)
+        got[src] = (partials, lin, met)
+        # the tap's side-file dir must not survive the stage
+        assert not os.path.isdir(f"{root}/out/_commit_tap")
+        assert not os.path.isdir(f"{root}/out/_commit_tap_chunks")
+    assert got["tap"][0].keys() == got["readback"][0].keys()
+    for f in got["tap"][0]:
+        pd.testing.assert_frame_equal(got["tap"][0][f],
+                                      got["readback"][0][f])
+    pd.testing.assert_frame_equal(got["tap"][1], got["readback"][1])
+    pd.testing.assert_frame_equal(got["tap"][2], got["readback"][2])
+    assert got["tap"][1]["n_rows"].sum() > 0

@@ -1,7 +1,10 @@
 """Multimodal plumbing: actor-pool decode/resize/frame-sample over binary
 columns (decode kernel stubbed by a deterministic fake format)."""
 
+import importlib.util
+
 import pyarrow as pa
+import pytest
 import ray.data
 
 from recursive_pdf_extraction_and_rag_ray.stages.multimodal import (
@@ -77,3 +80,48 @@ def test_video_frame_sampling_flatmap():
         fn_constructor_kwargs={"every": 10}, concurrency=(1, 2)).to_pandas()
     assert list(out["frame_no"]) == [0, 10, 20]
     assert (out["media_id"] == 7).all()
+
+
+def _minimal_png(width=4, height=3, value=200):
+    """Hand-built valid 8-bit grayscale PNG (no imaging library needed to
+    construct it): signature + IHDR + IDAT(zlib, filter 0 rows) + IEND."""
+    import struct
+    import zlib
+
+    def chunk(tag, data):
+        body = tag + data
+        return struct.pack(">I", len(data)) + body \
+            + struct.pack(">I", zlib.crc32(body))
+
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 0, 0, 0, 0)
+    raw = b"".join(b"\x00" + bytes([value]) * width for _ in range(height))
+    return (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(raw)) + chunk(b"IEND", b""))
+
+
+@pytest.mark.skipif(importlib.util.find_spec("PIL") is None,
+                    reason="PIL not installed — the real-decode branch of "
+                           "DecodeImageFeatures is exercised wherever it is")
+def test_decode_real_png_with_pil(ray_session):
+    """Non-stub branch of DecodeImageFeatures._decode: a real PNG byte
+    string decodes through PIL with correct dimensions and intensity."""
+    png = _minimal_png(width=4, height=3, value=200)
+    media = ray.data.from_arrow(pa.table({
+        "media_id": pa.array([1], pa.int64()),
+        "payload": pa.array([png], pa.large_binary()),
+    }))
+    out = media.map_batches(DecodeImageFeatures, batch_format="pyarrow",
+                            batch_size=8, concurrency=1).to_pandas()
+    assert int(out.loc[0, "width"]) == 4
+    assert int(out.loc[0, "height"]) == 3
+    assert abs(out.loc[0, "mean_intensity"] - 200.0) < 1e-6
+
+
+def test_decode_real_payload_without_pil_raises():
+    """Without PIL a non-RPXIMG1 payload must fail loudly (documented
+    NotImplementedError), never silently produce fake features."""
+    if importlib.util.find_spec("PIL") is not None:
+        pytest.skip("PIL installed — stub branch unreachable")
+    dec = DecodeImageFeatures()
+    with pytest.raises(NotImplementedError):
+        dec._decode(_minimal_png())

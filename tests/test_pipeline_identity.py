@@ -91,3 +91,40 @@ def test_embeddings_deterministic_and_normalized(pipeline_out):
         assert abs(float(np.linalg.norm(vec)) - 1.0) < 1e-3
         expect = hash_embed_texts([r["text"]])[0]
         assert np.allclose(vec, expect)
+
+
+def test_index_layouts_identical_rows(ray_session, tmp_path):
+    """layout='exchange' (keyed hash exchange, one file per bucket) must
+    hold exactly the rows of layout='bucketed' — only the file layout
+    differs (and every exchange bucket dir holds a single data file)."""
+    import glob
+    import os
+
+    import pandas as pd
+    import pyarrow.dataset as pads
+
+    from recursive_pdf_extraction_and_rag_ray.pipelines.extract_pipeline import (
+        run_extract_stage,
+        run_index_stage,
+        run_rag_stage,
+    )
+    from recursive_pdf_extraction_and_rag_ray.sources.pages_gen import (
+        synthesize_corpus,
+    )
+
+    root = str(tmp_path / "layouts")
+    synthesize_corpus(f"{root}/pages", n_docs=150, n_shards=3)
+    run_extract_stage(f"{root}/pages", f"{root}/out", concurrency=3)
+    run_rag_stage(f"{root}/out", concurrency=3)
+    outs = {}
+    for layout in ("bucketed", "exchange"):
+        idx = run_index_stage(f"{root}/out", concurrency=3, layout=layout)
+        df = pads.dataset(idx, partitioning="hive").to_table().to_pandas()
+        df["gk_bucket"] = df["gk_bucket"].astype(int)
+        df["embedding"] = df["embedding"].map(tuple)
+        outs[layout] = df[sorted(df.columns)].sort_values("id") \
+            .reset_index(drop=True)
+        if layout == "exchange":
+            for d in glob.glob(os.path.join(idx, "gk_bucket=*")):
+                assert len(glob.glob(os.path.join(d, "*.parquet"))) == 1, d
+    pd.testing.assert_frame_equal(outs["bucketed"], outs["exchange"])
