@@ -66,6 +66,9 @@ BENCH_QUERIES = [
     "bm25_from_index", "dedup_mark_join", "dedup_mark_broadcast",
     "minhash_pairs_dist", "simhash_pairs_dist", "boolean_search",
     "tfidf_keywords", "threshold_sweep", "ngram_novelty",
+    # round-5 additions: LSH ANN pair (newly SQL-checked) and the
+    # exact+fuzzy curation pipeline (driver-path fuzzy leg)
+    "lsh_ann", "cosine_neardup_lsh", "curation_fuzzy",
 ]
 
 

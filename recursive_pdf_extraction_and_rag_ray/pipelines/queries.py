@@ -1215,25 +1215,33 @@ WHERE sim >= 0.2
 def q_chunk_documents_words(sf_dir):
     """Alternative word-based chunker (SURVEY M8, reference
     rag_py.py:182-200) behind the same row-local flat-map shape as
-    chunk_documents."""
+    chunk_documents. SQL-checked since round 5: SQL_CHUNK_DOCUMENTS_WORDS
+    replays the word-budget accumulation / 50-word overlap spill /
+    min-word filter as a recursive CTE and pins chunk-text sha256
+    parity. Text amplified 9x on both sides (a ~50-word doc never spills
+    the 300-word budget) so the fixture exercises 1152 chunks across 362
+    multi-chunk docs."""
     from ..functions.textproc import chunk_text_words
 
     ds = _t(sf_dir, "documents", columns=["doc_id", "text"])
 
     def to_chunks(t: pa.Table) -> pa.Table:
-        ids, idxs, n_words, n_chars = [], [], [], []
+        ids, idxs, n_words, n_chars, shas = [], [], [], [], []
         for doc_id, text in zip(t["doc_id"].to_pylist(),
                                 t["text"].to_pylist()):
-            for k, ch in enumerate(chunk_text_words(text or "")):
+            amp = ((text or "") + "\n\n") * 9
+            for k, ch in enumerate(chunk_text_words(amp)):
                 ids.append(doc_id)
                 idxs.append(k)
                 n_words.append(len(ch.split()))
                 n_chars.append(len(ch))
+                shas.append(sha256_text(ch))
         return pa.table({
             "doc_id": pa.array(ids, pa.int64()),
             "chunk_index": pa.array(idxs, pa.int32()),
             "n_words": pa.array(n_words, pa.int64()),
             "n_chars": pa.array(n_chars, pa.int64()),
+            "chunk_sha256": pa.array(shas, pa.string()),
         })
 
     return ds.map_batches(to_chunks, batch_format="pyarrow")
@@ -3236,6 +3244,80 @@ FROM ranked r JOIN q USING (source) WHERE r.qrn <= q.quota
 """).replace("__QUOTAS__", _CURATION_QUOTA_VALUES)
 
 
+# word-budget chunker (reference rag_py.py:182-200) as a recursive CTE:
+# one step per (blank-filtered) paragraph carrying the buffer string;
+# spill emits trim(buffer) and seeds the next buffer with the last-50-word
+# overlap; the final buffer lands after the loop; chunks under 20 words
+# are dropped and indices assigned post-filter — exactly the Python
+# semantics including the leading-"\n\n" first-paragraph quirk (the
+# buffer enters through the fits-branch concat) and whole-emission of an
+# oversized single paragraph.
+_SQL_WS_SET = "' ' || chr(9) || chr(10) || chr(13) || chr(12) || chr(11)"
+
+SQL_CHUNK_DOCUMENTS_WORDS = rf"""
+WITH RECURSIVE docs_p AS (
+  SELECT doc_id,
+         list_filter(
+           list_transform(
+             regexp_split_to_array(
+               regexp_replace(
+                 trim(repeat(text || chr(10) || chr(10), 9), {_SQL_WS_SET}),
+                 '\n?-+ PAGE BREAK -+\n?', chr(10) || chr(10), 'g'),
+               '\n\s*\n'),
+             p -> p),
+           p -> trim(p, {_SQL_WS_SET}) <> '') AS paras
+  FROM documents
+),
+step AS (
+  SELECT doc_id, paras, 0::BIGINT AS i, ''::VARCHAR AS cur,
+         NULL::VARCHAR AS emit
+  FROM docs_p WHERE len(paras) > 0
+  UNION ALL
+  SELECT doc_id, paras, i + 1,
+    CASE WHEN len(list_filter(regexp_split_to_array(cur, '\s+'),
+                              x -> x <> ''))
+            + len(list_filter(regexp_split_to_array(paras[i + 1], '\s+'),
+                              x -> x <> '')) <= 300
+           THEN cur || chr(10) || chr(10) || paras[i + 1]
+         WHEN cur <> ''
+           THEN (SELECT array_to_string(
+                   w[greatest(1, len(w) - 49):len(w)], ' ')
+                 FROM (SELECT list_filter(
+                         regexp_split_to_array(cur, '\s+'),
+                         x -> x <> '') AS w))
+                || chr(10) || chr(10) || paras[i + 1]
+         ELSE paras[i + 1] END,
+    CASE WHEN len(list_filter(regexp_split_to_array(cur, '\s+'),
+                              x -> x <> ''))
+            + len(list_filter(regexp_split_to_array(paras[i + 1], '\s+'),
+                              x -> x <> '')) > 300
+              AND cur <> ''
+           THEN trim(cur, {_SQL_WS_SET}) ELSE NULL END
+  FROM step WHERE i < len(paras)
+),
+emitted AS (
+  SELECT doc_id, i AS ord, emit AS chunk FROM step WHERE emit IS NOT NULL
+  UNION ALL
+  SELECT doc_id, len(paras) + 1, trim(cur, {_SQL_WS_SET})
+  FROM step WHERE i = len(paras) AND trim(cur, {_SQL_WS_SET}) <> ''
+),
+kept AS (
+  SELECT doc_id, ord, chunk
+  FROM emitted
+  WHERE len(list_filter(regexp_split_to_array(chunk, '\s+'),
+                        x -> x <> '')) >= 20
+)
+SELECT doc_id,
+       (row_number() OVER (PARTITION BY doc_id ORDER BY ord) - 1)::INT
+         AS chunk_index,
+       len(list_filter(regexp_split_to_array(chunk, '\s+'),
+                       x -> x <> ''))::BIGINT AS n_words,
+       length(chunk)::BIGINT AS n_chars,
+       sha256(chunk) AS chunk_sha256
+FROM kept
+"""
+
+
 def q_curation_fuzzy(sf_dir):
     """Exact+fuzzy curation (VERDICT r4 item 8): the curation pipeline
     with the MinHash near-dup keep-first leg enabled between exact dedup
@@ -3379,7 +3461,8 @@ def queries() -> Dict[str, Callable]:
     names = [
         # (1) round-5 fixed / newly-oracled / code-touched this round
         "neardup_dedup_dist", "lsh_ann", "cosine_neardup_lsh",
-        "chunk_documents", "curation_fuzzy", "bm25_topk",
+        "chunk_documents", "chunk_documents_words", "curation_fuzzy",
+        "semantic_dedup_dist", "bm25_topk",
         "threshold_sweep", "dedup_mark_join", "dedup_mark_broadcast",
         "dedup_exact",
         # (2) last driver-checked in round 4
@@ -3390,7 +3473,7 @@ def queries() -> Dict[str, Callable]:
         "events_rollup", "curation", "hll_users_by_type", "json_repair",
         "bm25_from_index",
         "minhash_pairs_dist", "simhash_pairs_dist",
-        "semantic_dedup_dist", "contamination", "pack_documents",
+        "contamination", "pack_documents",
         "cms_event_counts", "tfidf_keywords",
         "ngram_novelty",
         # (3) last driver-checked in round 2/4
@@ -3398,7 +3481,6 @@ def queries() -> Dict[str, Callable]:
         "doc_type", "completeness", "filtered_knn", "knn_bruteforce",
         "cosine_neardup", "minhash_pairs", "simhash_pairs",
         "jaccard_pairs", "neardup_dedup", "ivf_ann",
-        "chunk_documents_words",
         "doc_metadata", "media_features", "extract_pages",
         "rolling_fingerprint",
         # (4) driver-green in round 3
@@ -3513,9 +3595,10 @@ def oracle_sql() -> Dict[str, str]:
         "lsh_ann": SQL_LSH_ANN,
         "cosine_neardup_lsh": SQL_COSINE_NEARDUP_LSH,
         "chunk_documents": SQL_CHUNK_DOCUMENTS,
+        "chunk_documents_words": SQL_CHUNK_DOCUMENTS_WORDS,
         "curation_fuzzy": SQL_CURATION_FUZZY,
-        # ivf_ann/chunk_documents_words/doc_metadata/media_features/
-        # extract_pages/rolling_fingerprint/json_repair:
-        # non-SQL-expressible -> rows-only checks (goldens pinned in
-        # tests/test_neardup.py and tests/test_textproc.py instead)
+        # ivf_ann/doc_metadata/media_features/extract_pages/
+        # rolling_fingerprint/json_repair: non-SQL-expressible ->
+        # rows-only checks (goldens pinned in tests/test_neardup.py and
+        # tests/test_textproc.py instead)
     }

@@ -121,8 +121,19 @@ def semantic_dedup_keep_first(ds: "ray.data.Dataset", *,
         refine_iters=refine_iters)
 
     if distributed:
-        losers_ds = components_losers_ds(pairs_ds,
-                                         num_partitions=num_partitions)
+        # same empty-block join guard as neardup_dedup_keep_first: the
+        # label-propagation lineage emits schema-less empty blocks when
+        # partitions outnumber loser rows, which break the per-partition
+        # Arrow join; materialize + zero-loser short-circuit +
+        # row-bounded repartition before the anti-join
+        losers_ds = components_losers_ds(
+            pairs_ds, num_partitions=num_partitions).materialize()
+        n_losers = losers_ds.count()
+        if n_losers == 0:
+            return ds.select_columns([id_col])
+        losers_ds = losers_ds.repartition(
+            max(1, min(num_partitions or _default_join_partitions(),
+                       n_losers // 65536 + 1)))
 
         def survivors(df: pd.DataFrame) -> pd.DataFrame:
             keep = df["winner"].isna()

@@ -86,3 +86,23 @@ def test_refined_centroids_keep_planted_dup_recall():
     # refinement never yields MORE survivors than sample-only centroids
     # on this fixture (tighter clusters find >= the same pairs)
     assert len(refined) <= len(plain)
+
+
+def test_semantic_dedup_dist_partitions_exceed_losers(ray_session):
+    """Same empty-block join hazard as neardup_dedup_dist (round-4 bug
+    class): force partitions ≫ loser rows through the distributed
+    anti-join and pin parity; and a dup-free corpus short-circuits to a
+    full pass-through."""
+    ds = _corpus(n=150, n_dups=2, seed=5)
+    a = semdedup.semantic_dedup_keep_first(ds, threshold=0.95) \
+        .to_pandas()["vec_id"].sort_values().tolist()
+    b = semdedup.semantic_dedup_keep_first(
+        ds, threshold=0.95, distributed=True, num_partitions=12) \
+        .to_pandas()["vec_id"].sort_values().tolist()
+    assert a == b and len(a) == 148  # the 2 planted copies dropped
+
+    clean = _corpus(n=30, n_dups=0, seed=6)
+    surv = semdedup.semantic_dedup_keep_first(
+        clean, threshold=0.95, distributed=True, num_partitions=12) \
+        .to_pandas()["vec_id"].sort_values().tolist()
+    assert surv == list(range(30))
