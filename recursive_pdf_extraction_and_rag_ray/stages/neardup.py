@@ -412,8 +412,16 @@ def minhash_lsh_pairs(docs: "ray.data.Dataset", threshold: float = 0.8, *,
     bands = sigs.map_batches(_minhash_band_rows_slim, batch_format="pandas")
     if distributed:
         hot_ds = _hot_buckets_ds(bands)
-        cand = _hot_candidates_semijoin(
-            sigs, bands, hot_ds, num_partitions or _default_join_partitions())
+        # join width sized to the KNOWN band-row volume (sigs is
+        # materialized, count is metadata): every hash-join partition is
+        # an aggregator actor whose spin-up dominates small inputs — one
+        # partition per 256k slim band rows, never more than the cluster
+        # default (measured: 16->2 partitions cut the dist twin ~3x at
+        # bench scale; at 1e9 docs the cap re-engages)
+        band_rows = sigs.count() * LSH_BANDS
+        np_parts = num_partitions or max(
+            2, min(_default_join_partitions(), band_rows // 262144 + 1))
+        cand = _hot_candidates_semijoin(sigs, bands, hot_ds, np_parts)
     else:
         hot = _hot_buckets(bands)
         if not hot:
@@ -548,8 +556,12 @@ def simhash_pairs(docs: "ray.data.Dataset",
     bands = sigs.map_batches(_simhash_band_rows_slim, batch_format="pandas")
     if distributed:
         hot_ds = _hot_buckets_ds(bands)
-        cand = _hot_candidates_semijoin(
-            sigs, bands, hot_ds, num_partitions or _default_join_partitions())
+        # join width sized to the known band-row volume (see
+        # minhash_lsh_pairs — same aggregator-spin-up economics)
+        band_rows = sigs.count() * SIMHASH_BLOCKS
+        np_parts = num_partitions or max(
+            2, min(_default_join_partitions(), band_rows // 262144 + 1))
+        cand = _hot_candidates_semijoin(sigs, bands, hot_ds, np_parts)
     else:
         hot = _hot_buckets(bands)
         if not hot:
