@@ -1411,8 +1411,13 @@ def q_json_repair(sf_dir):
     gemini_service.py:283-443 fallback chain) as a pipeline: a
     deterministic noisy-JSON payload per doc (clean / fenced / truncated /
     garbage by doc_id mod 4) -> fence-strip + balanced-extract +
-    truncation-repair parse -> (status, n_keys). Rows-only (the repair
-    chain is not SQL-expressible); absolute outputs pinned by unit tests."""
+    truncation-repair parse -> (status, n_keys). SQL oracle: the general
+    repair chain is not SQL-expressible, but ON THIS PAYLOAD FAMILY it
+    reduces exactly — clean/fenced parse direct, garbage fails, and the
+    truncated class's repair is replayed in SQL (rebuild the same half
+    payload, close an odd open quote, close an opened-unclosed '[', close
+    the '{', then json_valid/json_keys give status and key count); the
+    general chain's absolute outputs stay pinned by unit tests."""
     from ..functions.jsonrepair import parse_json_batch
 
     ds = _t(sf_dir, "documents", columns=["doc_id", "source", "n_chars"])
@@ -1438,10 +1443,59 @@ def q_json_repair(sf_dir):
         .map_batches(parse_json_batch, batch_format="pandas")
 
 
+SQL_JSON_REPAIR = """
+WITH base AS (
+  SELECT doc_id,
+         '{"doc_id": ' || doc_id || ', "source": "' || source ||
+         '", "n": ' || n_chars || ', "tags": ["a", "b"]}' AS b,
+         doc_id % 4 AS m
+  FROM documents),
+core AS (SELECT doc_id, m, left(b, length(b) // 2) AS c FROM base),
+fx AS (SELECT doc_id, m,
+         c || (CASE WHEN (length(c) - length(replace(c, '"', ''))) % 2 = 1
+                    THEN '"' ELSE '' END)
+           || (CASE WHEN strpos(c, '[') > 0 AND strpos(c, ']') = 0
+                    THEN ']' ELSE '' END)
+           || '}' AS fixed
+       FROM core)
+SELECT doc_id,
+       CASE WHEN m IN (0, 1) THEN 'direct'
+            WHEN m = 3 THEN 'failed'
+            WHEN json_valid(fixed) THEN 'repaired' ELSE 'failed'
+       END AS status,
+       CAST(CASE WHEN m IN (0, 1) THEN 4
+                 WHEN m = 3 THEN -1
+                 WHEN json_valid(fixed) THEN len(json_keys(fixed))
+                 ELSE -1 END AS BIGINT) AS n_keys
+FROM fx
+"""
+
+
 def q_rolling_fingerprint(sf_dir):
+    """Winnowing-style document fingerprint: min polynomial rolling hash
+    over 16-char windows (stages/textstats.py:rolling_fingerprint).
+    SQL oracle: each window hash is a pure function of its 16-char
+    substring, so the scan unrolls to 16 ord() terms with precomputed
+    257^j mod 2^61 literals, MIN'd per doc. Covers the polynomial path
+    (every testdata doc is >= 16 chars — the short-doc sha1 fallback has
+    no DuckDB sha1 and stays pinned by unit tests)."""
     ds = _t(sf_dir, "documents", columns=["doc_id", "text"])
     return ds.map_batches(textstats.rolling_fingerprint_batch,
                           batch_format="pandas")
+
+
+_RFP_MOD = 1 << 61
+SQL_ROLLING_FINGERPRINT = f"""
+WITH pos AS (
+  SELECT doc_id, text, unnest(range(1, length(text) - 14)) AS i
+  FROM documents),
+h AS (SELECT doc_id, ({" + ".join(
+    f"CAST(ord(substr(text, i + {j}, 1)) % 65536 AS HUGEINT) "
+    f"* {pow(257, 15 - j, _RFP_MOD)}" for j in range(16))}) % {_RFP_MOD}
+        AS wh
+      FROM pos)
+SELECT doc_id, CAST(MIN(wh) AS BIGINT) AS rfp FROM h GROUP BY doc_id
+"""
 
 
 # --- profiling / summary statistics (stages/profile.py) -----------------------
@@ -1603,14 +1657,77 @@ FROM t LEFT JOIN (SELECT event_type, count(*) AS n
 def q_hll_distinct_users(sf_dir):
     """HyperLogLog distinct-user estimate (stages/sketch.py:hll_build —
     2^12 registers merged by elementwise max; double-counting safe).
-    Rows-only: the +/-1.6%-sigma estimate has no SQL-exact equivalent;
-    the error bound is pinned in tests/test_sketches.py."""
+    SQL oracle: the sketch is fully deterministic — splitmix64 is
+    replayed in HUGEINT, register ranks via an exact bit-length CASE,
+    and the estimator's exact-integer register sum (see hll_estimate)
+    makes the float value order-free, so the driver hash-match checks
+    the ESTIMATE itself; the error bound stays pinned in
+    tests/test_sketches.py."""
     from ..stages import sketch
 
     ds = _t(sf_dir, "events", columns=["user_id"])
     est = sketch.hll_estimate(sketch.hll_build(ds, col="user_id"))
     return pd.DataFrame({"n_users_est": pd.Series([round(est)],
                                                   dtype="int64")})
+
+
+def _hll_sql(*, key: str, val: str, table: str, out: str) -> str:
+    """DuckDB replay of hll_build/hll_by_key + hll_estimate: splitmix64
+    over HUGEINT (the uint64 multiply split into 32-bit halves mod
+    2^64), register index / rank exactly as stages/sketch.py computes
+    them (rank = 65 - bit_length((h<<p)|ones(p))), and the estimator's
+    EXACT integer register sum (absent registers contribute 2^64).
+    Assumes non-negative integer ids (matches _hash_values' identity
+    cast). The alpha*m^2*2^64 numerator is inlined as a Python repr so
+    both sides perform ONE identical float division."""
+    import math  # noqa: F401  (documentation parity with hll_estimate)
+
+    P, M = 12, 1 << 64
+    m = 1 << P
+    seed = 0x9E3779B97F4A7C15
+    c1, c2 = 0xBF58476D1CE4E5B9, 0x94D049BB133111EB
+    num = repr((0.7213 / (1 + 1.079 / m)) * m * m * 2.0 ** 64)
+    kk = f"{key}, " if key else ""
+    grp = f"GROUP BY {key}" if key else ""
+    ord_ = f"ORDER BY {key}" if key else ""
+
+    def mult(c: int) -> str:
+        return (f"(((x % 4294967296) * {c} + "
+                f"(((x // 4294967296) * {c}) % 4294967296) * 4294967296)"
+                f" % {M})")
+
+    bl = "CASE " + " ".join(
+        f"WHEN rest >= CAST('{1 << (b - 1)}' AS HUGEINT) THEN {b}"
+        for b in range(64, P - 1, -1)) + " END"
+    return f"""
+WITH h0 AS (SELECT {kk}CAST({val} AS HUGEINT) AS v FROM {table}),
+h1 AS (SELECT {kk}((v + {seed}) % {M}) AS x FROM h0),
+h2 AS (SELECT {kk}xor(x, x // {1 << 30}) AS x FROM h1),
+h3 AS (SELECT {kk}{mult(c1)} AS x FROM h2),
+h4 AS (SELECT {kk}xor(x, x // {1 << 27}) AS x FROM h3),
+h5 AS (SELECT {kk}{mult(c2)} AS x FROM h4),
+h6 AS (SELECT {kk}xor(x, x // {1 << 31}) AS x FROM h5),
+pr AS (SELECT {kk}x // {1 << (64 - P)} AS reg,
+              (x % {1 << (64 - P)}) * {1 << P} + {(1 << P) - 1} AS rest
+       FROM h6),
+regs AS (SELECT {kk}reg, MAX(65 - ({bl})) AS r
+         FROM pr GROUP BY {kk}reg),
+agg AS (SELECT {kk}SUM(CAST(pow(2.0, 64 - r) AS HUGEINT))
+               + ({m} - COUNT(*)) * CAST(pow(2.0, 64) AS HUGEINT) AS s,
+               {m} - COUNT(*) AS zeros
+        FROM regs {grp}),
+est AS (SELECT {kk}zeros, {num} / CAST(s AS DOUBLE) AS e FROM agg)
+SELECT {kk}CAST(round(CASE WHEN e <= {2.5 * m} AND zeros > 0
+                           THEN {float(m)} * ln({float(m)} / zeros)
+                           ELSE e END) AS BIGINT) AS {out}
+FROM est {ord_}
+"""
+
+
+SQL_HLL_DISTINCT_USERS = _hll_sql(key="", val="user_id", table="events",
+                                  out="n_users_est")
+SQL_HLL_USERS_BY_TYPE = _hll_sql(key="event_type", val="user_id",
+                                 table="events", out="n_distinct_est")
 
 
 def q_tdigest_value_quantiles(sf_dir):
@@ -2916,9 +3033,10 @@ def q_hll_users_by_type(sf_dir):
     (stages/sketch.py:hll_by_key — batch-premaxed (key, register, rank)
     rows, associative max merge; fixed shuffle volume regardless of
     value cardinality, the web-scale complement of the exact
-    distinct_users_by_type). Rows-only: +/-1.6%-sigma estimates have no
-    SQL-exact equivalent; the error bound and exact-merge invariance
-    are pinned in tests/test_sketches.py."""
+    distinct_users_by_type). SQL oracle: _hll_sql replays the sketch
+    per key — the exact-integer estimator (hll_estimate) makes even
+    the float estimate hash-matchable; error bound and exact-merge
+    invariance stay pinned in tests/test_sketches.py."""
     from ..stages.sketch import hll_by_key
 
     ds = _t(sf_dir, "events", columns=["event_type", "user_id"])
@@ -3462,6 +3580,8 @@ def queries() -> Dict[str, Callable]:
         # (1) round-5 fixed / newly-oracled / code-touched this round
         "neardup_dedup_dist", "lsh_ann", "cosine_neardup_lsh",
         "chunk_documents", "chunk_documents_words", "curation_fuzzy",
+        "hll_distinct_users", "hll_users_by_type", "json_repair",
+        "rolling_fingerprint",
         "semantic_dedup_dist", "bm25_topk",
         "threshold_sweep", "dedup_mark_join", "dedup_mark_broadcast",
         "dedup_exact",
@@ -3470,7 +3590,7 @@ def queries() -> Dict[str, Callable]:
         "incremental_dedup", "duplicate_ngrams", "latest_event_per_user",
         "percent_rank", "knn_multi", "value_outliers", "mixture_sample",
         "weighted_sample", "bigram_pmi", "funnel", "char_entropy",
-        "events_rollup", "curation", "hll_users_by_type", "json_repair",
+        "events_rollup", "curation",
         "bm25_from_index",
         "minhash_pairs_dist", "simhash_pairs_dist",
         "contamination", "pack_documents",
@@ -3482,7 +3602,6 @@ def queries() -> Dict[str, Callable]:
         "cosine_neardup", "minhash_pairs", "simhash_pairs",
         "jaccard_pairs", "neardup_dedup", "ivf_ann",
         "doc_metadata", "media_features", "extract_pages",
-        "rolling_fingerprint",
         # (4) driver-green in round 3
         "agg_rollup", "filter_project", "topk_orders", "topk_per_group",
         "broadcast_join_agg", "hash_join_agg", "events_sessionize",
@@ -3494,7 +3613,7 @@ def queries() -> Dict[str, Callable]:
         "events_pivot", "customer_activity", "gopher_repetition",
         "c4_quality", "pii_redact", "train_split", "orders_enriched",
         "unigram_nll", "boilerplate_scrub", "shuffle_rank",
-        "hll_distinct_users", "tdigest_value_quantiles", "semantic_dedup",
+        "tdigest_value_quantiles", "semantic_dedup",
         "kmeans_clusters", "pq_ann", "stats_by_flag", "events_hopping",
         "distinct_users_by_type", "snapshot_diff", "props_rollup",
         "train_shards", "bpe_tokens", "adaptive_filter", "model_score",
@@ -3597,8 +3716,11 @@ def oracle_sql() -> Dict[str, str]:
         "chunk_documents": SQL_CHUNK_DOCUMENTS,
         "chunk_documents_words": SQL_CHUNK_DOCUMENTS_WORDS,
         "curation_fuzzy": SQL_CURATION_FUZZY,
-        # ivf_ann/doc_metadata/media_features/extract_pages/
-        # rolling_fingerprint/json_repair: non-SQL-expressible ->
-        # rows-only checks (goldens pinned in tests/test_neardup.py and
-        # tests/test_textproc.py instead)
+        "hll_distinct_users": SQL_HLL_DISTINCT_USERS,
+        "hll_users_by_type": SQL_HLL_USERS_BY_TYPE,
+        "json_repair": SQL_JSON_REPAIR,
+        "rolling_fingerprint": SQL_ROLLING_FINGERPRINT,
+        # ivf_ann/doc_metadata/media_features/extract_pages:
+        # non-SQL-expressible -> rows-only checks (goldens pinned in
+        # tests/test_neardup.py and tests/test_textproc.py instead)
     }

@@ -300,13 +300,26 @@ def hll_build(ds: "ray.data.Dataset", *, col: str,
 
 def hll_estimate(regs: np.ndarray) -> float:
     """Flajolet et al. 2007 estimator with the standard small-range
-    (linear counting) correction."""
+    (linear counting) correction.
+
+    The register sum is computed as the EXACT integer
+    ``S = sum(2^(64-r))`` (every term and the sum are exact Python
+    ints), so the estimate ``alpha*m^2*2^64 / S`` is a pure order-free
+    function of the register multiset: bit-identical across partial
+    merge orders AND reproducible by the DuckDB oracle, which mirrors
+    the same integer sum in HUGEINT (pipelines/queries.py:_hll_sql).
+    A float accumulation here would make the value depend on summation
+    order — unverifiable, and subtly nondeterministic under re-merge."""
+    import math
+
     m = len(regs)
     alpha = 0.7213 / (1 + 1.079 / m)
-    est = alpha * m * m / np.sum(np.exp2(-regs.astype(np.float64)))
+    vals, cnts = np.unique(regs.astype(np.int64), return_counts=True)
+    s = sum(int(c) << max(0, 64 - int(v)) for v, c in zip(vals, cnts))
+    est = alpha * m * m * 18446744073709551616.0 / float(s)
     zeros = int((regs == 0).sum())
     if est <= 2.5 * m and zeros:
-        return m * float(np.log(m / zeros))
+        return m * math.log(m / zeros)
     return float(est)
 
 
