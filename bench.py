@@ -69,6 +69,8 @@ BENCH_QUERIES = [
     # round-5 additions: LSH ANN pair (newly SQL-checked) and the
     # exact+fuzzy curation pipeline (driver-path fuzzy leg)
     "lsh_ann", "cosine_neardup_lsh", "curation_fuzzy",
+    # second-wave oracle promotions (round 5)
+    "json_repair", "rolling_fingerprint",
 ]
 
 
