@@ -9,10 +9,12 @@ Prints exactly ONE JSON line on stdout:
 Env: GRAFT_SF_DIR (default /root/testdata/sf0.1),
      RAY_GRAFT_CPUS (default 32).
 
---scaling: runs the headline pipeline twice in FRESH subprocesses over the
-identical pre-generated input and reports both throughputs + scaling
-efficiency (eff = (T_lo*lo) / (T_hi*hi)), the sandbox evidence for the
-north rule's two-cluster-size (N vs 4N) criterion. Default comparison is
+--scaling: runs the headline pipeline at two parallelism levels in FRESH
+subprocesses over the identical pre-generated input and reports both
+throughputs + scaling efficiency (eff = (T_lo*lo) / (T_hi*hi)), the
+sandbox evidence for the north rule's two-cluster-size (N vs 4N)
+criterion. Each leg is best-of-GRAFT_SCALING_LEG_RUNS walls (default 2,
+same count both legs — see the in-function noise rationale). Default comparison is
 num_cpus=4 vs 16: on a single 32-core box, running at 32 leaves no
 headroom for Ray's own daemons/driver and the shared disk, which contends
 with workers in a way a real 4N-node cluster (per-node disks, object
@@ -213,6 +215,8 @@ def scaling_run(sf_dir: str, lo: int = 4, hi: int = 16,
             "lo_cpus": lo, "hi_cpus": hi,
             "lo_sec": [r["lo_sec"] for r in runs],
             "hi_sec": [r["hi_sec"] for r in runs],
+            "lo_walls": [r.get("lo_walls") for r in runs],
+            "hi_walls": [r.get("hi_walls") for r in runs],
             "hi_docs_per_sec_best": best["hi_docs_per_sec"],
             "sf": sf_dir, "num_cpus": hi, "queries": {},
         }
@@ -226,13 +230,19 @@ def scaling_run(sf_dir: str, lo: int = 4, hi: int = 16,
         # property of the dataflow being measured).
         subprocess.run(["sync"], check=False)
         time.sleep(2)
-        # scaling legs stay SINGLE-run: the trial/median structure above
-        # already absorbs noise, and best-of-2 would double the ~8-min
-        # lo-leg; efficiency compares like with like as long as both
-        # legs use the same run count
+        # both legs use the SAME best-of-N discipline as the headline
+        # (min of N spaced runs, all raw walls reported): on this shared
+        # VM a co-tenant spike inflates the short 16-cpu leg by 30-50%
+        # while barely moving the 8-min 4-cpu leg, so single-run ratios
+        # measure neighbor activity, not the dataflow (observed same-day
+        # single-run trial spreads of 0.65-0.97 on identical code). The
+        # min-of-N wall per leg samples each leg's floor; efficiency
+        # compares like with like because both legs use the same N.
+        # Override with GRAFT_SCALING_LEG_RUNS=1 for the cheap variant.
+        leg_runs = os.environ.get("GRAFT_SCALING_LEG_RUNS", "2")
         env = dict(os.environ, RAY_GRAFT_CPUS=str(cpus), GRAFT_SF_DIR=sf_dir,
                    GRAFT_PAGES_REPEAT=str(SCALING_PAGES_REPEAT),
-                   GRAFT_HEADLINE_RUNS="1")
+                   GRAFT_HEADLINE_RUNS=leg_runs)
         proc = subprocess.run(
             [sys.executable, os.path.abspath(__file__), "--no-queries"],
             capture_output=True, text=True, env=env,
@@ -248,6 +258,8 @@ def scaling_run(sf_dir: str, lo: int = 4, hi: int = 16,
         "unit": "ratio",
         "lo_cpus": lo, "hi_cpus": hi,
         "lo_sec": t_lo, "hi_sec": t_hi,
+        "lo_walls": results[lo].get("headline_walls", [t_lo]),
+        "hi_walls": results[hi].get("headline_walls", [t_hi]),
         "lo_docs_per_sec": results[lo]["docs_per_sec"],
         "hi_docs_per_sec": results[hi]["docs_per_sec"],
         "sf": sf_dir,
