@@ -1279,14 +1279,17 @@ def q_neardup_dedup(sf_dir):
 
 def q_ivf_ann(sf_dir):
     """IVF approximate nearest neighbors: spherical-kmeans cells + nprobe
-    search (the inverted-file scale path; rows-only, golden-pinned)."""
+    search (the inverted-file scale path). SQL-checked: with the training
+    sample pinned to the first ORACLE_VEC_SAMPLE ids, the seeded init is
+    data-independent and the fixed-iteration quantizer + probe + exact
+    re-rank unroll into SQL_IVF_ANN (see _sql_ivf_ann)."""
     q = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"),
                       columns=["vec_id", "embedding"],
                       filters=[("vec_id", "=", 0)])
     qvec = np.asarray(q.column("embedding").to_pylist()[0], dtype=np.float64)
     ds = _t(sf_dir, "embeddings", columns=["vec_id", "embedding"])
     out = similarity.ivf_ann(
-        ds, qvec, k=10,
+        ds, qvec, k=10, sample=ORACLE_VEC_SAMPLE,
         source_path=os.path.join(sf_dir, "embeddings.parquet"))
     df = out.to_pandas()[["vec_id", "cos_sim"]]
     return df[df["vec_id"] != 0].reset_index(drop=True)
@@ -1295,15 +1298,17 @@ def q_ivf_ann(sf_dir):
 def q_kmeans_clusters(sf_dir):
     """Full-corpus distributed Lloyd k-means over the embeddings table
     (stages/clustering.py:kmeans_fit — sample-init + per-batch partial
-    sums through a bounded-fan-in tree combine, tol early stop), then
-    per-cluster membership stats. Rows-only: iterative k-means isn't
-    SQL-expressible; pure-numpy parity, partitioning invariance and
-    non-increasing objective are pinned in tests/test_clustering.py."""
+    sums through a bounded-fan-in tree combine), then per-cluster
+    membership stats. SQL-checked: tol=0 fixes the iteration count, the
+    pinned sample makes the seeded init data-independent, and the whole
+    run unrolls into SQL_KMEANS_CLUSTERS (see _sql_kmeans_clusters);
+    pure-numpy parity, partitioning invariance and the non-increasing
+    objective stay pinned in tests/test_clustering.py."""
     from ..stages import clustering
 
     ds = _t(sf_dir, "embeddings", columns=["vec_id", "embedding"])
     fit = clustering.kmeans_fit(
-        ds, n_clusters=8, iters=8,
+        ds, n_clusters=8, iters=8, tol=0.0, sample=ORACLE_VEC_SAMPLE,
         source_path=os.path.join(sf_dir, "embeddings.parquet"))
     return clustering.kmeans_cluster_stats(
         ds, fit.centroids).sort("cluster")
@@ -3496,6 +3501,154 @@ FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id
 WHERE list_cosine_similarity(a.e, c.e) >= 0.3
 """
 
+# --- spherical k-means replayed in SQL (ivf_ann / kmeans_clusters) ---
+# Lloyd's with a FIXED iteration count is deterministic given the init,
+# and the init (similarity.ivf_train_centroids) is rng.choice(seed 42)
+# over the id-ordered `vec_id < sample` rows: with sample pinned to
+# ORACLE_VEC_SAMPLE the chosen row indices are data-INDEPENDENT (ids are
+# dense from 0 in every testdata sf dir, asserted by the sampler), so —
+# like the LSH hyperplanes above — they inline as SQL literals and the
+# whole algorithm unrolls as one CTE chain per iteration: argmax-cosine
+# assignment (ties -> lowest centroid id, numpy argmax order), per-
+# cluster elementwise mean via zipped unnest, renormalize, empty
+# clusters keep their previous centroid. Every CTE is MATERIALIZED:
+# iteration t references t-1 twice, and DuckDB's default inlining makes
+# the chain exponential. Both sides compute in float64; an assignment
+# flip would need two centroid similarities within summation-order
+# noise (~1e-13), vanishingly unlikely for random embeddings (verified
+# exact-equal at sf0.001 and sf0.01).
+ORACLE_VEC_SAMPLE = 500  # pinned id cutoff => 500 training rows at any sf
+_VEC_DIM = 64            # testdata embeddings schema
+
+
+def _init_centroid_ids(n_sample: int, k: int, seed: int = 42) -> list:
+    """The init rows ivf_train_centroids picks: X is sorted by vec_id and
+    ids are dense, so sample-row index == vec_id."""
+    rng = np.random.RandomState(seed)
+    return [int(i) for i in rng.choice(n_sample, size=k, replace=False)]
+
+
+_SQL_UNIT = ("list_transform({lst}, v -> v / "
+             "(CASE WHEN {nrm} = 0 THEN 1.0 ELSE {nrm} END))")
+
+
+def _kmeans_chain_sql(src_cte: str, iters: int, prefix: str, *,
+                      init_ids=None, init_from: str = None) -> str:
+    """CTE chain c{prefix}0..c{prefix}{iters} of spherical Lloyd rounds
+    over ``src_cte`` rows (vec_id, e). Init either from inlined vec_id
+    literals (``init_ids``) or from another chain's output CTE."""
+    if init_from is not None:
+        parts = [f"\nc{prefix}0 AS MATERIALIZED "
+                 f"(SELECT cid, v FROM {init_from})"]
+    else:
+        vals = ", ".join(f"({c}, {v})" for c, v in enumerate(init_ids))
+        parts = [f"""
+c{prefix}0 AS MATERIALIZED (
+  SELECT i.cid, s.e AS v
+  FROM (VALUES {vals}) AS i(cid, vid)
+  JOIN {src_cte} s ON s.vec_id = i.vid)"""]
+    for t in range(1, iters + 1):
+        p, prev = f"{prefix}{t}", f"c{prefix}{t - 1}"
+        parts.append(f"""
+a{p} AS MATERIALIZED (
+  SELECT vec_id, e, cl FROM (
+    SELECT s.vec_id, s.e, c.cid AS cl,
+           row_number() OVER (PARTITION BY s.vec_id
+             ORDER BY list_inner_product(s.e, c.v) DESC, c.cid) AS rn
+    FROM {src_cte} s, {prev} c) z WHERE rn = 1),
+m{p} AS MATERIALIZED (
+  SELECT cl, pos, avg(val) AS mv
+  FROM (SELECT cl, unnest(e) AS val,
+               unnest(range(1, {_VEC_DIM + 1})) AS pos FROM a{p}) u
+  GROUP BY cl, pos),
+r{p} AS MATERIALIZED (
+  SELECT cl AS cid, raw, sqrt(list_inner_product(raw, raw)) AS nrm
+  FROM (SELECT cl, list(mv ORDER BY pos) AS raw FROM m{p} GROUP BY cl) g),
+c{prefix}{t} AS MATERIALIZED (
+  SELECT p.cid,
+         CASE WHEN r.raw IS NULL THEN p.v
+              ELSE {_SQL_UNIT.format(lst='r.raw', nrm='r.nrm')} END AS v
+  FROM {prev} p LEFT JOIN r{p} r USING (cid))""")
+    return ",".join(parts)
+
+
+_SQL_VEC_BASE = f"""
+xa AS MATERIALIZED (
+  SELECT vec_id, {_SQL_UNIT.format(lst='embedding::DOUBLE[]', nrm='nrm')} AS e
+  FROM (SELECT vec_id, embedding,
+               sqrt(list_inner_product(embedding::DOUBLE[],
+                                       embedding::DOUBLE[])) AS nrm
+        FROM embeddings) z),
+xs AS MATERIALIZED (SELECT vec_id, e FROM xa
+                    WHERE vec_id < {ORACLE_VEC_SAMPLE})"""
+
+
+def _sql_ivf_ann(k_cent: int = 16, iters: int = 5, nprobe: int = 4,
+                 k: int = 10) -> str:
+    """stages/similarity.ivf_ann replayed: sample k-means quantizer,
+    query's nprobe nearest cells, exact cosine among cell members, top-k
+    by 6dp-rounded sim (id tiebreak), query row dropped AFTER the limit
+    (q_ivf_ann semantics -> k-1 rows when vec 0 lands in the probe set).
+    """
+    chain = _kmeans_chain_sql(
+        "xs", iters, "i",
+        init_ids=_init_centroid_ids(ORACLE_VEC_SAMPLE, k_cent))
+    return f"""
+WITH {_SQL_VEC_BASE},{chain},
+qv AS MATERIALIZED (SELECT e FROM xa WHERE vec_id = 0),
+probe AS MATERIALIZED (
+  SELECT cid FROM (
+    SELECT c.cid, row_number() OVER (
+      ORDER BY list_inner_product(q.e, c.v) DESC, c.cid) AS rn
+    FROM ci{iters} c, qv q) z WHERE rn <= {nprobe}),
+cand AS MATERIALIZED (
+  SELECT vec_id, e FROM (
+    SELECT x.vec_id, x.e, c.cid,
+           row_number() OVER (PARTITION BY x.vec_id
+             ORDER BY list_inner_product(x.e, c.v) DESC, c.cid) AS rn
+    FROM xa x, ci{iters} c) z
+  WHERE rn = 1 AND cid IN (SELECT cid FROM probe)),
+top AS MATERIALIZED (
+  SELECT cand.vec_id,
+         round(list_inner_product(cand.e, q.e), 6) AS cos_sim
+  FROM cand, qv q
+  ORDER BY cos_sim DESC, cand.vec_id
+  LIMIT {k})
+SELECT vec_id, cos_sim FROM top WHERE vec_id <> 0
+ORDER BY cos_sim DESC, vec_id
+"""
+
+
+def _sql_kmeans_clusters(k_cent: int = 8, init_iters: int = 5,
+                         fit_iters: int = 8) -> str:
+    """stages/clustering.kmeans_fit(tol=0) + kmeans_cluster_stats
+    replayed: the 5-round sample quantizer init chain, then fit_iters
+    full-corpus Lloyd rounds, then per-cluster (n_members, mean best
+    sim). Only observed clusters are emitted — same as the engine's
+    groupby."""
+    init = _kmeans_chain_sql(
+        "xs", init_iters, "s",
+        init_ids=_init_centroid_ids(ORACLE_VEC_SAMPLE, k_cent))
+    fit = _kmeans_chain_sql("xa", fit_iters, "f",
+                            init_from=f"cs{init_iters}")
+    return f"""
+WITH {_SQL_VEC_BASE},{init},{fit},
+fin AS MATERIALIZED (
+  SELECT vec_id, cl, best FROM (
+    SELECT x.vec_id, c.cid AS cl,
+           list_inner_product(x.e, c.v) AS best,
+           row_number() OVER (PARTITION BY x.vec_id
+             ORDER BY list_inner_product(x.e, c.v) DESC, c.cid) AS rn
+    FROM xa x, cf{fit_iters} c) z WHERE rn = 1)
+SELECT cl::BIGINT AS cluster, count(*)::BIGINT AS n_members,
+       round(sum(best) / count(*), 6) AS mean_sim
+FROM fin GROUP BY cl ORDER BY cl
+"""
+
+
+SQL_IVF_ANN = _sql_ivf_ann()
+SQL_KMEANS_CLUSTERS = _sql_kmeans_clusters()
+
 # The reference chunker (split on blank lines -> greedy buffer merge ->
 # 80-char overlap prefix -> intra-doc first-occurrence dedupe,
 # functions/textproc.py:45-92+178-192, reference chunking.py:6-61)
@@ -3581,7 +3734,7 @@ def queries() -> Dict[str, Callable]:
         "neardup_dedup_dist", "lsh_ann", "cosine_neardup_lsh",
         "chunk_documents", "chunk_documents_words", "curation_fuzzy",
         "hll_distinct_users", "hll_users_by_type", "json_repair",
-        "rolling_fingerprint",
+        "rolling_fingerprint", "ivf_ann", "kmeans_clusters",
         "semantic_dedup_dist", "bm25_topk",
         "threshold_sweep", "dedup_mark_join", "dedup_mark_broadcast",
         "dedup_exact",
@@ -3600,7 +3753,7 @@ def queries() -> Dict[str, Callable]:
         "fingerprint", "token_count", "lang_id", "quality",
         "doc_type", "completeness", "filtered_knn", "knn_bruteforce",
         "cosine_neardup", "minhash_pairs", "simhash_pairs",
-        "jaccard_pairs", "neardup_dedup", "ivf_ann",
+        "jaccard_pairs", "neardup_dedup",
         "doc_metadata", "media_features", "extract_pages",
         # (4) driver-green in round 3
         "agg_rollup", "filter_project", "topk_orders", "topk_per_group",
@@ -3614,7 +3767,7 @@ def queries() -> Dict[str, Callable]:
         "c4_quality", "pii_redact", "train_split", "orders_enriched",
         "unigram_nll", "boilerplate_scrub", "shuffle_rank",
         "tdigest_value_quantiles", "semantic_dedup",
-        "kmeans_clusters", "pq_ann", "stats_by_flag", "events_hopping",
+        "pq_ann", "stats_by_flag", "events_hopping",
         "distinct_users_by_type", "snapshot_diff", "props_rollup",
         "train_shards", "bpe_tokens", "adaptive_filter", "model_score",
         "ewma_user_value",
@@ -3720,7 +3873,9 @@ def oracle_sql() -> Dict[str, str]:
         "hll_users_by_type": SQL_HLL_USERS_BY_TYPE,
         "json_repair": SQL_JSON_REPAIR,
         "rolling_fingerprint": SQL_ROLLING_FINGERPRINT,
-        # ivf_ann/doc_metadata/media_features/extract_pages:
-        # non-SQL-expressible -> rows-only checks (goldens pinned in
-        # tests/test_neardup.py and tests/test_textproc.py instead)
+        "ivf_ann": SQL_IVF_ANN,
+        "kmeans_clusters": SQL_KMEANS_CLUSTERS,
+        # doc_metadata/media_features/extract_pages: non-SQL-expressible
+        # -> rows-only checks (goldens pinned in tests/test_textproc.py
+        # and tests/test_multimodal.py instead)
     }

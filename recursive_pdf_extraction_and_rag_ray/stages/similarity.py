@@ -214,6 +214,7 @@ def ivf_ann(ds: "ray.data.Dataset", query: np.ndarray, k: int = 10, *,
             nprobe: int = IVF_NPROBE, n_centroids: int = IVF_CENTROIDS,
             id_col: str = "vec_id", vec_col: str = "embedding",
             seed: int = 42, centroids: Optional[np.ndarray] = None,
+            sample: int = IVF_TRAIN_SAMPLE,
             source_path: Optional[str] = None) -> "ray.data.Dataset":
     """IVF approximate top-k — the inverted-file scale path next to
     ``lsh_ann``: assign rows to their nearest spherical-kmeans centroid
@@ -223,7 +224,7 @@ def ivf_ann(ds: "ray.data.Dataset", query: np.ndarray, k: int = 10, *,
     of the data; recall grows with nprobe."""
     cents = centroids if centroids is not None else ivf_train_centroids(
         ds, n_centroids=n_centroids, seed=seed, id_col=id_col,
-        vec_col=vec_col, source_path=source_path)
+        vec_col=vec_col, sample=sample, source_path=source_path)
     q = _normalize(np.asarray(query, dtype=np.float64).reshape(1, -1))
     probe_set = np.sort(np.argsort(-(q @ cents.T)[0], kind="stable")[:nprobe])
     cents_ref = ray.put(cents)
