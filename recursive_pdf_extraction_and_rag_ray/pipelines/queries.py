@@ -1755,14 +1755,16 @@ def q_semantic_dedup(sf_dir):
     """SemDeDup survivors over the embeddings table
     (stages/semdedup.py:semantic_dedup_keep_first — k-means blocks from
     a bounded deterministic sample, tiled within-cluster cosine pairs,
-    keep-first components). Rows-only: iterative k-means isn't
-    SQL-expressible; planted-duplicate recall and driver/distributed
-    parity are pinned in tests/test_semdedup.py."""
+    keep-first components). SQL-checked: the pinned-sample quantizer
+    unrolls like ivf_ann's, the pair graph is a within-cluster self-join
+    and the components replay as the SQL_NEARDUP_DEDUP recursive CTE
+    (SQL_SEMANTIC_DEDUP); planted-duplicate recall and
+    driver/distributed parity stay pinned in tests/test_semdedup.py."""
     from ..stages import semdedup
 
     ds = _t(sf_dir, "embeddings", columns=["vec_id", "embedding"])
     return semdedup.semantic_dedup_keep_first(
-        ds, threshold=0.3,
+        ds, threshold=0.3, sample=ORACLE_VEC_SAMPLE,
         source_path=os.path.join(sf_dir, "embeddings.parquet"))
 
 
@@ -2586,14 +2588,14 @@ def q_neardup_dedup_dist(sf_dir):
 
 def q_semantic_dedup_dist(sf_dir):
     """SemDeDup survivors through the distributed=True components path
-    (stages/semdedup.py). Rows-only like semantic_dedup (iterative
-    k-means isn't SQL-expressible); parity between the two paths is
-    additionally pinned in tests/test_semdedup.py."""
+    (stages/semdedup.py). SQL-checked against the same SQL_SEMANTIC_DEDUP
+    oracle as semantic_dedup (the two paths are parity-pinned in
+    tests/test_semdedup.py, and both now face the DuckDB replay)."""
     from ..stages import semdedup
 
     ds = _t(sf_dir, "embeddings", columns=["vec_id", "embedding"])
     return semdedup.semantic_dedup_keep_first(
-        ds, threshold=0.3, distributed=True,
+        ds, threshold=0.3, distributed=True, sample=ORACLE_VEC_SAMPLE,
         source_path=os.path.join(sf_dir, "embeddings.parquet"))
 
 
@@ -3649,6 +3651,49 @@ FROM fin GROUP BY cl ORDER BY cl
 SQL_IVF_ANN = _sql_ivf_ann()
 SQL_KMEANS_CLUSTERS = _sql_kmeans_clusters()
 
+
+def _sql_semantic_dedup(k_cent: int = 16, iters: int = 5,
+                        threshold: float = 0.3) -> str:
+    """stages/semdedup.semantic_dedup_keep_first replayed: the pinned-
+    sample quantizer chain, argmax-cosine cluster assignment, the
+    within-cluster cosine>=threshold pair self-join (raw-float compare,
+    same as the engine), then the SQL_NEARDUP_DEDUP recursive-components
+    keep-first. One oracle serves both the driver-side union-find path
+    and the distributed label-propagation path — they are parity-pinned.
+    """
+    chain = _kmeans_chain_sql(
+        "xs", iters, "d",
+        init_ids=_init_centroid_ids(ORACLE_VEC_SAMPLE, k_cent))
+    return f"""
+WITH RECURSIVE {_SQL_VEC_BASE},{chain},
+asg AS MATERIALIZED (
+  SELECT vec_id, e, cl FROM (
+    SELECT x.vec_id, x.e, c.cid AS cl,
+           row_number() OVER (PARTITION BY x.vec_id
+             ORDER BY list_inner_product(x.e, c.v) DESC, c.cid) AS rn
+    FROM xa x, cd{iters} c) z WHERE rn = 1),
+prs AS MATERIALIZED (
+  SELECT a.vec_id AS doc_a, b.vec_id AS doc_b
+  FROM asg a JOIN asg b ON a.cl = b.cl AND a.vec_id < b.vec_id
+  WHERE list_inner_product(a.e, b.e) >= {threshold}),
+edges AS (
+  SELECT doc_a AS node, doc_b AS nbr FROM prs
+  UNION
+  SELECT doc_b AS node, doc_a AS nbr FROM prs),
+reach(node, anc) AS (
+  SELECT node, nbr FROM edges
+  UNION
+  SELECT r.node, e.nbr FROM reach r JOIN edges e ON r.anc = e.node),
+losers AS (
+  SELECT node FROM reach GROUP BY node HAVING min(anc) < node)
+SELECT vec_id FROM embeddings
+WHERE vec_id NOT IN (SELECT node FROM losers)
+ORDER BY vec_id
+"""
+
+
+SQL_SEMANTIC_DEDUP = _sql_semantic_dedup()
+
 # The reference chunker (split on blank lines -> greedy buffer merge ->
 # 80-char overlap prefix -> intra-doc first-occurrence dedupe,
 # functions/textproc.py:45-92+178-192, reference chunking.py:6-61)
@@ -3735,7 +3780,7 @@ def queries() -> Dict[str, Callable]:
         "chunk_documents", "chunk_documents_words", "curation_fuzzy",
         "hll_distinct_users", "hll_users_by_type", "json_repair",
         "rolling_fingerprint", "ivf_ann", "kmeans_clusters",
-        "semantic_dedup_dist", "bm25_topk",
+        "semantic_dedup", "semantic_dedup_dist", "bm25_topk",
         "threshold_sweep", "dedup_mark_join", "dedup_mark_broadcast",
         "dedup_exact",
         # (2) last driver-checked in round 4
@@ -3766,7 +3811,7 @@ def queries() -> Dict[str, Callable]:
         "events_pivot", "customer_activity", "gopher_repetition",
         "c4_quality", "pii_redact", "train_split", "orders_enriched",
         "unigram_nll", "boilerplate_scrub", "shuffle_rank",
-        "tdigest_value_quantiles", "semantic_dedup",
+        "tdigest_value_quantiles",
         "pq_ann", "stats_by_flag", "events_hopping",
         "distinct_users_by_type", "snapshot_diff", "props_rollup",
         "train_shards", "bpe_tokens", "adaptive_filter", "model_score",
@@ -3875,6 +3920,8 @@ def oracle_sql() -> Dict[str, str]:
         "rolling_fingerprint": SQL_ROLLING_FINGERPRINT,
         "ivf_ann": SQL_IVF_ANN,
         "kmeans_clusters": SQL_KMEANS_CLUSTERS,
+        "semantic_dedup": SQL_SEMANTIC_DEDUP,
+        "semantic_dedup_dist": SQL_SEMANTIC_DEDUP,
         # doc_metadata/media_features/extract_pages: non-SQL-expressible
         # -> rows-only checks (goldens pinned in tests/test_textproc.py
         # and tests/test_multimodal.py instead)

@@ -35,8 +35,9 @@ import pandas as pd
 
 import ray
 
-from .similarity import (IVF_CENTROIDS, _as_matrix, _normalize,
-                         cosine_neardup_pairs, ivf_train_centroids)
+from .similarity import (IVF_CENTROIDS, IVF_TRAIN_SAMPLE, _as_matrix,
+                         _normalize, cosine_neardup_pairs,
+                         ivf_train_centroids)
 from .neardup import (cluster_pairs_keep_first, components_losers_ds,
                       _default_join_partitions)
 
@@ -72,6 +73,7 @@ def semantic_neardup_pairs(ds: "ray.data.Dataset", *,
                            vec_col: str = "embedding",
                            source_path: Optional[str] = None,
                            max_width: int = 200,
+                           sample: int = IVF_TRAIN_SAMPLE,
                            refine_iters: int = 0) -> "ray.data.Dataset":
     """(doc_a, doc_b, cos_sim) pairs with cosine >= threshold that share
     a k-means cluster (doc_a < doc_b). Approximation is the published
@@ -84,7 +86,8 @@ def semantic_neardup_pairs(ds: "ray.data.Dataset", *,
     boundaries, trading one extra corpus pass per iteration for
     recall."""
     cents = ivf_train_centroids(ds, n_centroids=n_clusters, id_col=id_col,
-                                vec_col=vec_col, source_path=source_path)
+                                vec_col=vec_col, sample=sample,
+                                source_path=source_path)
     if refine_iters > 0:
         from .clustering import kmeans_fit
         cents = kmeans_fit(ds, n_clusters=n_clusters, iters=refine_iters,
@@ -110,6 +113,7 @@ def semantic_dedup_keep_first(ds: "ray.data.Dataset", *,
                               distributed: bool = False,
                               num_partitions: int = 0,
                               max_width: int = 200,
+                              sample: int = IVF_TRAIN_SAMPLE,
                               refine_iters: int = 0) -> "ray.data.Dataset":
     """Survivor ids after semantic dedup: for every connected component
     of the within-cluster cosine>=threshold pair graph, keep the minimum
@@ -118,7 +122,7 @@ def semantic_dedup_keep_first(ds: "ray.data.Dataset", *,
     pairs_ds = semantic_neardup_pairs(
         ds, threshold=threshold, n_clusters=n_clusters, id_col=id_col,
         vec_col=vec_col, source_path=source_path, max_width=max_width,
-        refine_iters=refine_iters)
+        sample=sample, refine_iters=refine_iters)
 
     if distributed:
         # same empty-block join guard as neardup_dedup_keep_first: the
