@@ -1317,9 +1317,11 @@ def q_kmeans_clusters(sf_dir):
 def q_pq_ann(sf_dir):
     """Product-quantization ADC top-k (stages/pq.py — per-subspace
     codebooks from the bounded deterministic sample, distributed uint8
-    encode, broadcast LUT + partial top-k). Rows-only: quantized
-    distances are approximate by design; codeword-grid exactness and
-    clustered recall >= 0.7 are pinned in tests/test_pq.py."""
+    encode, broadcast LUT + partial top-k). SQL-checked: with the sample
+    pinned, each subspace's fixed-iteration Euclidean Lloyd unrolls like
+    the spherical chains, and encode + ADC are joins over the final
+    codebooks (SQL_PQ_ANN); codeword-grid exactness and clustered
+    recall >= 0.7 stay pinned in tests/test_pq.py."""
     from ..stages import pq as pqmod
 
     src = os.path.join(sf_dir, "embeddings.parquet")
@@ -1327,7 +1329,8 @@ def q_pq_ann(sf_dir):
                       filters=[("vec_id", "=", 0)])
     qvec = np.asarray(q.column("embedding").to_pylist()[0], dtype=np.float64)
     ds = _t(sf_dir, "embeddings", columns=["vec_id", "embedding"])
-    out = pqmod.pq_ann(ds, qvec, k=10, source_path=src, exclude_ids=[0])
+    out = pqmod.pq_ann(ds, qvec, k=10, source_path=src, exclude_ids=[0],
+                       sample=ORACLE_VEC_SAMPLE)
     return out.to_pandas()[["vec_id", "adc_dist"]]
 
 
@@ -3535,10 +3538,21 @@ _SQL_UNIT = ("list_transform({lst}, v -> v / "
 
 
 def _kmeans_chain_sql(src_cte: str, iters: int, prefix: str, *,
-                      init_ids=None, init_from: str = None) -> str:
-    """CTE chain c{prefix}0..c{prefix}{iters} of spherical Lloyd rounds
-    over ``src_cte`` rows (vec_id, e). Init either from inlined vec_id
-    literals (``init_ids``) or from another chain's output CTE."""
+                      init_ids=None, init_from: str = None,
+                      metric: str = "cos", dim: int = None) -> str:
+    """CTE chain c{prefix}0..c{prefix}{iters} of Lloyd rounds over
+    ``src_cte`` rows (vec_id, e). Init either from inlined vec_id
+    literals (``init_ids``) or from another chain's output CTE.
+    ``metric='cos'`` is spherical (argmax dot, renormalized means —
+    similarity.ivf_train_centroids / clustering.kmeans_fit);
+    ``metric='l2'`` is plain Euclidean (argmin ||x-c||^2, raw means —
+    pq._lloyd_np). Both break assignment ties toward the lowest
+    centroid id, numpy arg{max,min} order."""
+    if metric == "cos":
+        order = "list_inner_product(s.e, c.v) DESC, c.cid"
+    else:
+        order = ("(list_inner_product(c.v, c.v)"
+                 " - 2 * list_inner_product(s.e, c.v)) ASC, c.cid")
     if init_from is not None:
         parts = [f"\nc{prefix}0 AS MATERIALIZED "
                  f"(SELECT cid, v FROM {init_from})"]
@@ -3549,6 +3563,8 @@ c{prefix}0 AS MATERIALIZED (
   SELECT i.cid, s.e AS v
   FROM (VALUES {vals}) AS i(cid, vid)
   JOIN {src_cte} s ON s.vec_id = i.vid)"""]
+    new_v = (_SQL_UNIT.format(lst='r.raw', nrm='r.nrm')
+             if metric == "cos" else "r.raw")
     for t in range(1, iters + 1):
         p, prev = f"{prefix}{t}", f"c{prefix}{t - 1}"
         parts.append(f"""
@@ -3556,12 +3572,13 @@ a{p} AS MATERIALIZED (
   SELECT vec_id, e, cl FROM (
     SELECT s.vec_id, s.e, c.cid AS cl,
            row_number() OVER (PARTITION BY s.vec_id
-             ORDER BY list_inner_product(s.e, c.v) DESC, c.cid) AS rn
+             ORDER BY {order}) AS rn
     FROM {src_cte} s, {prev} c) z WHERE rn = 1),
 m{p} AS MATERIALIZED (
   SELECT cl, pos, avg(val) AS mv
   FROM (SELECT cl, unnest(e) AS val,
-               unnest(range(1, {_VEC_DIM + 1})) AS pos FROM a{p}) u
+               unnest(range(1, {(dim or _VEC_DIM) + 1})) AS pos
+        FROM a{p}) u
   GROUP BY cl, pos),
 r{p} AS MATERIALIZED (
   SELECT cl AS cid, raw, sqrt(list_inner_product(raw, raw)) AS nrm
@@ -3569,7 +3586,7 @@ r{p} AS MATERIALIZED (
 c{prefix}{t} AS MATERIALIZED (
   SELECT p.cid,
          CASE WHEN r.raw IS NULL THEN p.v
-              ELSE {_SQL_UNIT.format(lst='r.raw', nrm='r.nrm')} END AS v
+              ELSE {new_v} END AS v
   FROM {prev} p LEFT JOIN r{p} r USING (cid))""")
     return ",".join(parts)
 
@@ -3694,6 +3711,61 @@ ORDER BY vec_id
 
 SQL_SEMANTIC_DEDUP = _sql_semantic_dedup()
 
+
+def _sql_pq_ann(m: int = 8, ksub: int = 16, iters: int = 10,
+                k: int = 10) -> str:
+    """stages/pq.pq_ann replayed: per-subspace Euclidean Lloyd codebooks
+    (seed 42+j per subspace, pinned sample -> inlined init row ids),
+    per-row nearest-codeword encode, ADC distance = sum over subspaces
+    of ||codeword - query_subvector||^2, top-k by 6dp-rounded distance
+    with the query row excluded BEFORE the limit (pq_ann exclude_ids
+    semantics). Subvectors are 1-based inclusive list slices of the
+    L2-normalized full vector."""
+    dsub = _VEC_DIM // m
+    parts, unions = [], []
+    for j in range(m):
+        lo, hi = j * dsub + 1, (j + 1) * dsub
+        chain = _kmeans_chain_sql(
+            f"xsub{j}", iters, f"q{j}",
+            init_ids=_init_centroid_ids(ORACLE_VEC_SAMPLE, ksub,
+                                        seed=42 + j),
+            metric="l2", dim=dsub)
+        parts.append(f"""
+xsub{j} AS MATERIALIZED (
+  SELECT vec_id, e[{lo}:{hi}] AS e FROM xs),{chain},
+xf{j} AS MATERIALIZED (
+  SELECT vec_id, e[{lo}:{hi}] AS e FROM xa),
+qs{j} AS MATERIALIZED (SELECT e FROM xf{j} WHERE vec_id = 0),
+lut{j} AS MATERIALIZED (
+  SELECT c.cid,
+         list_inner_product(c.v, c.v) - 2 * list_inner_product(q.e, c.v)
+         + list_inner_product(q.e, q.e) AS d
+  FROM cq{j}{iters} c, qs{j} q),
+enc{j} AS MATERIALIZED (
+  SELECT vec_id, cl AS cid FROM (
+    SELECT x.vec_id, c.cid AS cl,
+           row_number() OVER (PARTITION BY x.vec_id
+             ORDER BY (list_inner_product(c.v, c.v)
+                       - 2 * list_inner_product(x.e, c.v)) ASC,
+                      c.cid) AS rn
+    FROM xf{j} x, cq{j}{iters} c) z WHERE rn = 1)""")
+        unions.append(
+            f"SELECT e.vec_id, l.d FROM enc{j} e JOIN lut{j} l USING (cid)")
+    body = "\n  UNION ALL\n  ".join(unions)
+    return f"""
+WITH {_SQL_VEC_BASE},{",".join(parts)},
+dists AS MATERIALIZED (
+  SELECT vec_id, sum(d) AS dist FROM (
+  {body}) u GROUP BY vec_id)
+SELECT vec_id, round(dist, 6) AS adc_dist FROM dists
+WHERE vec_id <> 0
+ORDER BY round(dist, 6), vec_id
+LIMIT {k}
+"""
+
+
+SQL_PQ_ANN = _sql_pq_ann()
+
 # The reference chunker (split on blank lines -> greedy buffer merge ->
 # 80-char overlap prefix -> intra-doc first-occurrence dedupe,
 # functions/textproc.py:45-92+178-192, reference chunking.py:6-61)
@@ -3780,7 +3852,7 @@ def queries() -> Dict[str, Callable]:
         "chunk_documents", "chunk_documents_words", "curation_fuzzy",
         "hll_distinct_users", "hll_users_by_type", "json_repair",
         "rolling_fingerprint", "ivf_ann", "kmeans_clusters",
-        "semantic_dedup", "semantic_dedup_dist", "bm25_topk",
+        "semantic_dedup", "semantic_dedup_dist", "pq_ann", "bm25_topk",
         "threshold_sweep", "dedup_mark_join", "dedup_mark_broadcast",
         "dedup_exact",
         # (2) last driver-checked in round 4
@@ -3812,7 +3884,7 @@ def queries() -> Dict[str, Callable]:
         "c4_quality", "pii_redact", "train_split", "orders_enriched",
         "unigram_nll", "boilerplate_scrub", "shuffle_rank",
         "tdigest_value_quantiles",
-        "pq_ann", "stats_by_flag", "events_hopping",
+        "stats_by_flag", "events_hopping",
         "distinct_users_by_type", "snapshot_diff", "props_rollup",
         "train_shards", "bpe_tokens", "adaptive_filter", "model_score",
         "ewma_user_value",
@@ -3922,6 +3994,7 @@ def oracle_sql() -> Dict[str, str]:
         "kmeans_clusters": SQL_KMEANS_CLUSTERS,
         "semantic_dedup": SQL_SEMANTIC_DEDUP,
         "semantic_dedup_dist": SQL_SEMANTIC_DEDUP,
+        "pq_ann": SQL_PQ_ANN,
         # doc_metadata/media_features/extract_pages: non-SQL-expressible
         # -> rows-only checks (goldens pinned in tests/test_textproc.py
         # and tests/test_multimodal.py instead)

@@ -163,6 +163,7 @@ def pq_ann(ds: "ray.data.Dataset", query: np.ndarray, k: int = 10, *,
            codebooks: Optional[np.ndarray] = None, m: int = PQ_M,
            ksub: int = PQ_KSUB, id_col: str = "vec_id",
            vec_col: str = "embedding", seed: int = 42,
+           sample: int = IVF_TRAIN_SAMPLE,
            source_path: Optional[str] = None,
            exclude_ids=None) -> "ray.data.Dataset":
     """Approximate top-k by ADC over PQ codes. ``codebooks`` from a prior
@@ -170,7 +171,7 @@ def pq_ann(ds: "ray.data.Dataset", query: np.ndarray, k: int = 10, *,
     encode once, query many)."""
     books = codebooks if codebooks is not None else pq_train(
         ds, m=m, ksub=ksub, seed=seed, id_col=id_col, vec_col=vec_col,
-        source_path=source_path)
+        sample=sample, source_path=source_path)
     mm, ksub_, dsub = books.shape
     q = _normalize(np.asarray(query, dtype=np.float64).reshape(1, -1))[0]
     lut = np.empty((mm, ksub_), dtype=np.float64)
