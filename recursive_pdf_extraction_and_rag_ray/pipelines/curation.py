@@ -112,8 +112,9 @@ def _fuzzy_leg(docs: "ray.data.Dataset", deduped: "ray.data.Dataset", *,
     blocks when partitions outnumber rows, the round-4 failure class)."""
     import functools
 
-    from ..stages.neardup import _default_join_partitions, \
-        neardup_dedup_keep_first
+    from ..stages.neardup import (JOIN_MERGE_ROWS, _default_join_partitions,
+                                  merge_small_blocks,
+                                  neardup_dedup_keep_first)
 
     deduped = deduped.materialize()
     n_kept = deduped.count()
@@ -122,18 +123,16 @@ def _fuzzy_leg(docs: "ray.data.Dataset", deduped: "ray.data.Dataset", *,
     text_cols = docs.select_columns(["doc_id", "text"])
     if distributed:
         np_parts = _default_join_partitions()
-        slim_parts = max(1, min(np_parts, n_kept // 65536 + 1))
+        slim_parts = max(1, min(np_parts, n_kept // JOIN_MERGE_ROWS + 1))
         # deduped is itself a join side below — merge away its own
         # schema-less empty map_groups blocks too
         deduped = deduped.repartition(slim_parts).materialize()
         kept_ids = deduped.select_columns(["doc_id"])
         subset = text_cols.join(kept_ids, join_type="inner",
                                 num_partitions=np_parts, on=("doc_id",))
-        survivors = neardup_dedup_keep_first(
-            subset, threshold, distributed=True).materialize()
-        n_surv = survivors.count()
-        survivors = survivors.repartition(
-            max(1, min(np_parts, n_surv // 65536 + 1)))
+        survivors, _ = merge_small_blocks(
+            neardup_dedup_keep_first(subset, threshold, distributed=True),
+            np_parts)
         return deduped.join(survivors, join_type="inner",
                             num_partitions=slim_parts, on=("doc_id",))
 

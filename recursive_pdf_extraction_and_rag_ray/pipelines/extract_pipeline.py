@@ -100,14 +100,26 @@ def _checksum_partials(batch: pa.Table) -> pa.Table:
     inherent; the grouping/summing is vectorized (uint64 sums wrap mod
     2^64). When the batch carries ``n_chars`` the token partial
     (reference len//4 heuristic, convert_to_embeddings.py:106-118) rides
-    along for free — no extra read of chunk text for billing."""
+    along for free — no extra read of chunk text for billing.
+
+    The hashed key must be UNIQUE PER ROW corpus-wide: the commit-tap's
+    content-digest file naming (``_spill_partials``) relies on two
+    DIFFERENT blocks never producing byte-identical partials, and chunk
+    rows repeat ``url`` across a document — so chunk batches key on
+    (url, chunk_index), which is unique by construction, instead of the
+    bare url (doc batches' urls are already unique)."""
     import hashlib
     import struct
 
     import numpy as np
     import pandas as pd
 
-    keys = batch.column("url").to_pylist()
+    urls = batch.column("url").to_pylist()
+    if "chunk_index" in batch.column_names:
+        keys = [f"{u}#{i}" for u, i in
+                zip(urls, batch.column("chunk_index").to_pylist())]
+    else:
+        keys = urls
     ks = np.fromiter(
         (struct.unpack("<Q", hashlib.sha1(k.encode()).digest()[:8])[0]
          for k in keys), dtype=np.uint64, count=len(keys))
@@ -182,8 +194,15 @@ def _spill_partials(parts: pa.Table, tmp_dir: str) -> None:
     name is a digest of the partial CONTENT, so a retried task that
     recomputes the same block overwrites its own file instead of
     double-counting the checksum (the property the old read-back pass
-    got for free)."""
+    got for free). Content naming is only sound because two DIFFERENT
+    blocks can never produce byte-identical partials: every hashed key
+    is unique per row corpus-wide (see ``_checksum_partials``), so
+    distinct blocks sum disjoint key sets. The temp file carries a
+    per-writer unique suffix so a retry racing its original never
+    interleaves writes into one path; ``os.replace`` keeps the final
+    promote atomic (identical content, last writer wins)."""
     import hashlib
+    import uuid
 
     import pyarrow.parquet as pq
 
@@ -193,7 +212,7 @@ def _spill_partials(parts: pa.Table, tmp_dir: str) -> None:
     digest = hashlib.sha1(
         parts.to_pandas().to_csv(index=False).encode()).hexdigest()
     path = os.path.join(tmp_dir, f"{digest}.parquet")
-    tmp = path + ".tmp"
+    tmp = f"{path}.{os.getpid()}.{uuid.uuid4().hex[:8]}.tmp"
     pq.write_table(parts, tmp)
     os.replace(tmp, path)
 
@@ -215,7 +234,8 @@ def _tap_extract_commit(batch: pa.Table, tmp_dir: str) -> pa.Table:
 def _tap_chunks_commit(batch: pa.Table, tmp_dir: str) -> pa.Table:
     """Chunks-stage twin of ``_tap_extract_commit``: spills the lineage
     checksum + token partials from the in-flight embedded batches."""
-    cols = [c for c in ("url", "n_chars", "shard") if c in batch.column_names]
+    cols = [c for c in ("url", "chunk_index", "n_chars", "shard")
+            if c in batch.column_names]
     _spill_partials(_checksum_partials(batch.select(cols)), tmp_dir)
     return batch
 
@@ -378,6 +398,9 @@ def run_extract_stage(input_dir_or_paths, out_dir: str, *,
         reassemble_spilled_segments,
     )
 
+    if commit_source not in ("tap", "readback"):
+        raise ValueError(f"commit_source must be 'tap' or 'readback', "
+                         f"got {commit_source!r}")
     shards = list_shards(input_dir_or_paths)
     docs_dir = os.path.join(out_dir, "docs")
     done = completed_shards(out_dir, STAGE_EXTRACT, PARSER_VERSION) if resume else set()
@@ -574,6 +597,9 @@ def run_rag_stage(out_dir: str, *, concurrency: Optional[int] = None,
         winners_dataset_from_partials,
     )
 
+    if commit_source not in ("tap", "readback"):
+        raise ValueError(f"commit_source must be 'tap' or 'readback', "
+                         f"got {commit_source!r}")
     docs_dir = os.path.join(out_dir, "docs")
     chunks_dir = os.path.join(out_dir, "chunks")
     if not os.path.isdir(docs_dir):
@@ -655,10 +681,12 @@ def run_rag_stage(out_dir: str, *, concurrency: Optional[int] = None,
         sums = _combine_checksum_partials(parts) if parts is not None else {}
     else:
         # n_chars rides along so the billing partial needs no extra text
-        # read
+        # read; chunk_index joins url in the per-row checksum key (see
+        # _checksum_partials) so the readback twin stays byte-identical
+        # to the tap
         written = ray.data.read_parquet(
             _partition_files(chunks_dir, pending),
-            columns=["id", "url", "n_chars"], include_paths=True,
+            columns=["url", "chunk_index", "n_chars"], include_paths=True,
         ).map_batches(_attach_shard_from_path, batch_format="pyarrow")
         sums = _combine_checksums(written)
     # shards can legitimately produce zero chunks (all-empty docs)

@@ -1283,14 +1283,14 @@ def q_ivf_ann(sf_dir):
     sample pinned to the first ORACLE_VEC_SAMPLE ids, the seeded init is
     data-independent and the fixed-iteration quantizer + probe + exact
     re-rank unroll into SQL_IVF_ANN (see _sql_ivf_ann)."""
-    q = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"),
-                      columns=["vec_id", "embedding"],
+    src = os.path.join(sf_dir, "embeddings.parquet")
+    _assert_dense_prefix(src)
+    q = pq.read_table(src, columns=["vec_id", "embedding"],
                       filters=[("vec_id", "=", 0)])
     qvec = np.asarray(q.column("embedding").to_pylist()[0], dtype=np.float64)
     ds = _t(sf_dir, "embeddings", columns=["vec_id", "embedding"])
     out = similarity.ivf_ann(
-        ds, qvec, k=10, sample=ORACLE_VEC_SAMPLE,
-        source_path=os.path.join(sf_dir, "embeddings.parquet"))
+        ds, qvec, k=10, sample=ORACLE_VEC_SAMPLE, source_path=src)
     df = out.to_pandas()[["vec_id", "cos_sim"]]
     return df[df["vec_id"] != 0].reset_index(drop=True)
 
@@ -1306,6 +1306,7 @@ def q_kmeans_clusters(sf_dir):
     objective stay pinned in tests/test_clustering.py."""
     from ..stages import clustering
 
+    _assert_dense_prefix(os.path.join(sf_dir, "embeddings.parquet"))
     ds = _t(sf_dir, "embeddings", columns=["vec_id", "embedding"])
     fit = clustering.kmeans_fit(
         ds, n_clusters=8, iters=8, tol=0.0, sample=ORACLE_VEC_SAMPLE,
@@ -1325,6 +1326,7 @@ def q_pq_ann(sf_dir):
     from ..stages import pq as pqmod
 
     src = os.path.join(sf_dir, "embeddings.parquet")
+    _assert_dense_prefix(src)
     q = pq.read_table(src, columns=["vec_id", "embedding"],
                       filters=[("vec_id", "=", 0)])
     qvec = np.asarray(q.column("embedding").to_pylist()[0], dtype=np.float64)
@@ -1765,6 +1767,7 @@ def q_semantic_dedup(sf_dir):
     driver/distributed parity stay pinned in tests/test_semdedup.py."""
     from ..stages import semdedup
 
+    _assert_dense_prefix(os.path.join(sf_dir, "embeddings.parquet"))
     ds = _t(sf_dir, "embeddings", columns=["vec_id", "embedding"])
     return semdedup.semantic_dedup_keep_first(
         ds, threshold=0.3, sample=ORACLE_VEC_SAMPLE,
@@ -2596,6 +2599,7 @@ def q_semantic_dedup_dist(sf_dir):
     tests/test_semdedup.py, and both now face the DuckDB replay)."""
     from ..stages import semdedup
 
+    _assert_dense_prefix(os.path.join(sf_dir, "embeddings.parquet"))
     ds = _t(sf_dir, "embeddings", columns=["vec_id", "embedding"])
     return semdedup.semantic_dedup_keep_first(
         ds, threshold=0.3, distributed=True, sample=ORACLE_VEC_SAMPLE,
@@ -3511,7 +3515,8 @@ WHERE list_cosine_similarity(a.e, c.e) >= 0.3
 # and the init (similarity.ivf_train_centroids) is rng.choice(seed 42)
 # over the id-ordered `vec_id < sample` rows: with sample pinned to
 # ORACLE_VEC_SAMPLE the chosen row indices are data-INDEPENDENT (ids are
-# dense from 0 in every testdata sf dir, asserted by the sampler), so —
+# dense from 0 in every testdata sf dir — _assert_dense_prefix fails the
+# pinned queries loud if that ever breaks), so —
 # like the LSH hyperplanes above — they inline as SQL literals and the
 # whole algorithm unrolls as one CTE chain per iteration: argmax-cosine
 # assignment (ties -> lowest centroid id, numpy argmax order), per-
@@ -3531,6 +3536,25 @@ def _init_centroid_ids(n_sample: int, k: int, seed: int = 42) -> list:
     ids are dense, so sample-row index == vec_id."""
     rng = np.random.RandomState(seed)
     return [int(i) for i in rng.choice(n_sample, size=k, replace=False)]
+
+
+def _assert_dense_prefix(src: str, n: int = None) -> None:
+    """Oracle-contract guard for the pinned-sample queries: the SQL side
+    inlines rng.choice ROW INDICES as vec_id literals, which is only
+    sound when the ids below the cutoff are dense from 0 (sample-row
+    index == vec_id). The engine itself stays permissive (any id space
+    works for rng.choice over len(X)); this fails loud at the query
+    boundary instead of surfacing as a confusing hash mismatch. One
+    pushed-down single-column read — microseconds at any sf."""
+    n = n or ORACLE_VEC_SAMPLE
+    t = pq.read_table(src, columns=["vec_id"],
+                      filters=[("vec_id", "<", n)])
+    ids = sorted(t.column("vec_id").to_pylist())
+    if ids != list(range(len(ids))):
+        raise ValueError(
+            f"vec_ids below {n} in {src} are not dense from 0 "
+            f"({len(ids)} rows, max {ids[-1] if ids else None}); the "
+            "inlined-init SQL oracles require a gap-free id prefix")
 
 
 _SQL_UNIT = ("list_transform({lst}, v -> v / "

@@ -283,6 +283,27 @@ def _default_join_partitions() -> int:
     return max(2, min(REDUCE_PARTITIONS, cpus // 2))
 
 
+JOIN_MERGE_ROWS = 65536
+
+
+def merge_small_blocks(ds: "ray.data.Dataset",
+                       cap: int) -> "tuple[ray.data.Dataset, int]":
+    """Guard for joining against a groupby/map_batches lineage: that
+    lineage emits schema-LESS empty blocks when partitions outnumber
+    rows, and the per-partition Arrow join then dies with 'no match for
+    key field ... on right side' (the round-4 neardup_dedup_dist failure
+    class, first fixed for mark_duplicates_join in 4bafa21).
+    Materializes, counts, and — when non-empty — repartitions to at most
+    ``cap`` partitions of ~JOIN_MERGE_ROWS rows, merging the empties
+    away. Returns (ds, n_rows); the caller short-circuits n_rows == 0
+    with its own site-specific empty result."""
+    ds = ds.materialize()
+    n = ds.count()
+    if n == 0:
+        return ds, 0
+    return ds.repartition(max(1, min(cap, n // JOIN_MERGE_ROWS + 1))), n
+
+
 def _hot_candidates_semijoin(sigs: "ray.data.Dataset",
                              bands: "ray.data.Dataset",
                              hot_ds: "ray.data.Dataset",
@@ -299,8 +320,7 @@ def _hot_candidates_semijoin(sigs: "ray.data.Dataset",
     lineage emits them whenever partitions outnumber hot buckets —
     guaranteed for a corpus with few or no duplicates). Zero hot buckets
     short-circuits to an empty candidate table with the joined schema."""
-    hot_ds = hot_ds.materialize()
-    n_hot = hot_ds.count()
+    hot_ds, n_hot = merge_small_blocks(hot_ds, num_partitions)
     if n_hot == 0:
         # zero candidates -> zero groups: the downstream coarse-key /
         # per-bucket machinery only touches (doc_id, bucket), and the
@@ -308,8 +328,6 @@ def _hot_candidates_semijoin(sigs: "ray.data.Dataset",
         return ray.data.from_pandas(pd.DataFrame({
             "doc_id": pd.Series([], dtype="int64"),
             "bucket": pd.Series([], dtype="int64")}))
-    hot_ds = hot_ds.repartition(
-        max(1, min(num_partitions, n_hot // 65536 + 1)))
     members = bands.join(hot_ds, join_type="inner",
                          num_partitions=num_partitions, on=("bucket",))
     return members.join(sigs, join_type="inner",
@@ -635,9 +653,11 @@ def components_losers_ds(pairs: "ray.data.Dataset", *,
     def both_dirs(t: pa.Table) -> pa.Table:
         a = pc.cast(t.column("doc_a"), pa.int64())
         b = pc.cast(t.column("doc_b"), pa.int64())
+        # explicit type: a zero-chunk column (empty-with-schema block)
+        # would otherwise raise ArrowInvalid from chunked_array([])
         return pa.table({
-            "node": pa.chunked_array(a.chunks + b.chunks),
-            "nbr": pa.chunked_array(b.chunks + a.chunks),
+            "node": pa.chunked_array(a.chunks + b.chunks, type=pa.int64()),
+            "nbr": pa.chunked_array(b.chunks + a.chunks, type=pa.int64()),
         })
 
     edges = pairs.select_columns(["doc_a", "doc_b"]).map_batches(
@@ -666,14 +686,12 @@ def components_losers_ds(pairs: "ray.data.Dataset", *,
     labels = edges.groupby("node") \
         .aggregate(Min("nbr", alias_name="label")) \
         .map_batches(clip_label, batch_format="pyarrow").materialize()
-    # the hash-aggregate emits schema-LESS empty blocks for partitions
-    # that received no groups; the per-partition Arrow inner join below
-    # then dies with 'no match for key field ... on right side' (same
-    # class as the mark_duplicates_join fix). One row per graph node, so
-    # a row-bounded repartition (re-applied after every groupby round)
-    # merges the empties away at negligible cost.
+    # same failure class as merge_small_blocks guards (schema-less empty
+    # hash-aggregate blocks vs the per-partition Arrow join); computed
+    # inline here because the loop re-applies the SAME lbl_parts after
+    # every groupby round
     n_nodes = labels.count()
-    lbl_parts = max(1, min(np_parts, n_nodes // 65536 + 1))
+    lbl_parts = max(1, min(np_parts, n_nodes // JOIN_MERGE_ROWS + 1))
     labels = labels.repartition(lbl_parts).materialize()
     prev_sum = labels.aggregate(Sum("label"))["sum(label)"]
 
@@ -738,14 +756,11 @@ def neardup_dedup_keep_first(docs: "ray.data.Dataset",
     pairs_ds = minhash_lsh_pairs(docs, threshold, distributed=distributed,
                                  num_partitions=num_partitions)
     if distributed:
-        losers_ds = components_losers_ds(
-            pairs_ds, num_partitions=num_partitions).materialize()
-        n_losers = losers_ds.count()
+        losers_ds, n_losers = merge_small_blocks(
+            components_losers_ds(pairs_ds, num_partitions=num_partitions),
+            num_partitions or _default_join_partitions())
         if n_losers == 0:
             return docs.select_columns(["doc_id"])
-        losers_ds = losers_ds.repartition(
-            max(1, min(num_partitions or _default_join_partitions(),
-                       n_losers // 65536 + 1)))
 
         def survivors(df: pd.DataFrame) -> pd.DataFrame:
             keep = df["winner"].isna()

@@ -39,7 +39,7 @@ from .similarity import (IVF_CENTROIDS, IVF_TRAIN_SAMPLE, _as_matrix,
                          _normalize, cosine_neardup_pairs,
                          ivf_train_centroids)
 from .neardup import (cluster_pairs_keep_first, components_losers_ds,
-                      _default_join_partitions)
+                      merge_small_blocks, _default_join_partitions)
 
 CLUSTER_COL = "sem_cluster"
 
@@ -125,19 +125,13 @@ def semantic_dedup_keep_first(ds: "ray.data.Dataset", *,
         sample=sample, refine_iters=refine_iters)
 
     if distributed:
-        # same empty-block join guard as neardup_dedup_keep_first: the
-        # label-propagation lineage emits schema-less empty blocks when
-        # partitions outnumber loser rows, which break the per-partition
-        # Arrow join; materialize + zero-loser short-circuit +
-        # row-bounded repartition before the anti-join
-        losers_ds = components_losers_ds(
-            pairs_ds, num_partitions=num_partitions).materialize()
-        n_losers = losers_ds.count()
+        # empty-block join guard (neardup.merge_small_blocks) before the
+        # anti-join, same as neardup_dedup_keep_first
+        losers_ds, n_losers = merge_small_blocks(
+            components_losers_ds(pairs_ds, num_partitions=num_partitions),
+            num_partitions or _default_join_partitions())
         if n_losers == 0:
             return ds.select_columns([id_col])
-        losers_ds = losers_ds.repartition(
-            max(1, min(num_partitions or _default_join_partitions(),
-                       n_losers // 65536 + 1)))
 
         def survivors(df: pd.DataFrame) -> pd.DataFrame:
             keep = df["winner"].isna()
