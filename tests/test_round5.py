@@ -92,3 +92,42 @@ def test_bm25_negative_doc_id(ray_session):
     assert 9 not in set(top["doc_id"])
     # -1 is the only doc matching both terms -> ranks first
     assert int(top.iloc[0]["doc_id"]) == -1
+
+
+def test_chunk_checksum_partials_distinguish_same_url_blocks():
+    """The commit tap names side files by partial-content digest, so two
+    DIFFERENT blocks must never produce byte-identical partials. Chunk
+    rows repeat url across a doc — two full batches inside one long
+    uniform doc would collide on a bare-url key_sum; keying on
+    (url, chunk_index) makes every row key unique."""
+    from recursive_pdf_extraction_and_rag_ray.pipelines.extract_pipeline import (
+        _checksum_partials,
+    )
+
+    def block(idx0):
+        return pa.table({
+            "url": ["u"] * 4,
+            "chunk_index": list(range(idx0, idx0 + 4)),
+            "n_chars": [100] * 4,
+            "shard": ["s0"] * 4,
+        })
+
+    a = _checksum_partials(block(0)).to_pandas()
+    b = _checksum_partials(block(4)).to_pandas()
+    assert a["n_rows"].tolist() == b["n_rows"].tolist() == [4]
+    assert a["key_sum"].tolist() != b["key_sum"].tolist()
+
+
+def test_commit_source_validated(tmp_path):
+    """A typo'd commit_source must raise, not silently pick readback."""
+    import pytest as _pytest
+
+    from recursive_pdf_extraction_and_rag_ray.pipelines.extract_pipeline import (
+        run_extract_stage,
+        run_rag_stage,
+    )
+    with _pytest.raises(ValueError, match="commit_source"):
+        run_extract_stage(str(tmp_path), str(tmp_path / "out"),
+                          commit_source="taps")
+    with _pytest.raises(ValueError, match="commit_source"):
+        run_rag_stage(str(tmp_path / "out"), commit_source="Tap")
